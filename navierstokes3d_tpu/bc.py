@@ -1,0 +1,138 @@
+"""Boundary-condition registry.
+
+Primitives mirror the reference's plane kernels and the orchestrators
+preserve the reference's exact application ORDER (edges/corners depend on it):
+
+  gpu variant (NavierStokes3D_gpu.jl:221-286):
+    velocity: zero-gradient x/y, no-slip bottom + free-slip top (bc_zV!);
+    pressure: zero-gradient y/z + hydrostatic Dirichlet on both x planes,
+              with a +100 Pa inlet head that drives the flow (:257-260).
+  multi variant (NavierStokes3D_multi_gpu.jl:108-184):
+    velocity: zero-gradient (Vy missing bc_y!, Vz missing bc_z! — reference
+              divergence, kept in compat; fixed path applies all),
+              Dirichlet inlet Vx = vin on the global inlet plane;
+    pressure: zero-gradient all faces + Dirichlet Pr = 0 on the outlet plane.
+
+All primitives are functional: `.at[...].set` reads the pre-update planes,
+matching the reference kernels (which never write a plane they read).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SimConfig
+from .grid import Grid
+
+
+# ---- plane primitives ----
+
+def zero_grad_x(a):
+    """bc_x!: copy 2nd/2nd-last yz-planes outward (gpu.jl:221-225)."""
+    return a.at[0].set(a[1]).at[-1].set(a[-2])
+
+
+def zero_grad_y(a):
+    return a.at[:, 0].set(a[:, 1]).at[:, -1].set(a[:, -2])
+
+
+def zero_grad_z(a):
+    return a.at[:, :, 0].set(a[:, :, 1]).at[:, :, -1].set(a[:, :, -2])
+
+
+def noslip_bottom_slip_top(a):
+    """bc_zV!: no-slip invert, free-slip top (gpu.jl:239-243)."""
+    return a.at[:, :, 0].set(0.0).at[:, :, -1].set(a[:, :, -2])
+
+
+def dirichlet_x_lo(a, val):
+    """bc_x_Vx!-style inlet plane (multi_gpu.jl:138-141)."""
+    return a.at[0].set(val)
+
+
+def dirichlet_x_hi(a, val):
+    """bc_x_Pr!-style outlet plane (multi_gpu.jl:147-150)."""
+    return a.at[-1].set(val)
+
+
+def hydrostatic_x(pr, grid: Grid, rho, g, inlet_head):
+    """bc_xhydstatic!: hydrostatic Dirichlet on both x planes; the inlet gets
+    an extra +`inlet_head` Pa (gpu.jl:257-261). 1-based iz arithmetic:
+    value(iz) = rho*g*(nz - iz + 0.5)*dz."""
+    iz = jnp.arange(1, grid.nz + 1, dtype=pr.dtype)
+    prof = rho * g * (grid.nz - iz + 0.5) * grid.dz        # (nz,)
+    prof = jnp.broadcast_to(prof[None, :], (grid.ny, grid.nz))
+    pr = pr.at[0].set(prof + inlet_head)
+    pr = pr.at[-1].set(prof)
+    return pr
+
+
+# ---- orchestrators ----
+
+def make_bc_fns(cfg: SimConfig, grid: Grid):
+    """Build (set_bc_vel, set_bc_pr) closures for the configured variant.
+
+    Returns jit-friendly pure functions:
+      set_bc_vel(vx, vy, vz) -> (vx, vy, vz)
+      set_bc_pr(pr) -> pr
+    """
+    phys = cfg.physics
+    vin = phys.vin
+
+    if cfg.variant == "multi":
+
+        def set_bc_vel(vx, vy, vz):
+            # Order: NavierStokes3D_multi_gpu.jl:156-169
+            vx = zero_grad_x(vx)
+            vx = zero_grad_y(vx)
+            vx = zero_grad_z(vx)
+            vy = zero_grad_x(vy)
+            if not cfg.compat:
+                vy = zero_grad_y(vy)   # omitted in reference (:160-161)
+            vy = zero_grad_z(vy)
+            vz = zero_grad_x(vz)
+            vz = zero_grad_y(vz)
+            if not cfg.compat:
+                vz = zero_grad_z(vz)   # omitted in reference (:162-163)
+            vx = dirichlet_x_lo(vx, vin)   # inlet plane (:164-166)
+            return vx, vy, vz
+
+        def set_bc_pr(pr):
+            # Order: NavierStokes3D_multi_gpu.jl:175-184
+            pr = zero_grad_x(pr)
+            pr = zero_grad_y(pr)
+            pr = zero_grad_z(pr)
+            pr = dirichlet_x_hi(pr, 0.0)   # outlet (:179-181)
+            return pr
+
+    elif cfg.variant == "gpu":
+
+        def set_bc_vel(vx, vy, vz):
+            # Order: NavierStokes3D_gpu.jl:264-279. The inlet-profile BCs
+            # (bc_xVx!/bc_xVyz!) are commented out in the reference (:266,
+            # :270,:274); flow is driven by the +100 Pa pressure head instead.
+            vx = zero_grad_x(vx)
+            vx = zero_grad_y(vx)
+            vx = noslip_bottom_slip_top(vx)
+            vy = zero_grad_x(vy)
+            vy = zero_grad_y(vy)
+            vy = noslip_bottom_slip_top(vy)
+            vz = zero_grad_x(vz)
+            vz = zero_grad_y(vz)
+            vz = noslip_bottom_slip_top(vz)
+            return vx, vy, vz
+
+        def set_bc_pr(pr):
+            # Order: NavierStokes3D_gpu.jl:281-286
+            pr = zero_grad_y(pr)
+            pr = zero_grad_z(pr)
+            pr = hydrostatic_x(pr, grid, phys.rho, phys.g, inlet_head=100.0)
+            return pr
+
+    else:
+        raise ValueError(f"unknown variant {cfg.variant!r}")
+
+    return set_bc_vel, set_bc_pr

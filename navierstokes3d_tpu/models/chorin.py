@@ -1,0 +1,211 @@
+"""Chorin projection solver: the full time step as one jittable function.
+
+Step structure (reference: the time loop at NavierStokes3D_gpu.jl:119-171 /
+NavierStokes3D_multi_gpu.jl:446-477):
+
+  1. viscous stress + predictor            update_τ! / predict_V!
+  2. immersed cylinder mask                set_cylinder!
+  3. divergence (Poisson RHS)              update_∇V!
+  4. pseudo-transient Poisson solve        update_dPrdτ!/update_Pr!/set_bc_Pr!
+     with residual checks every nchk iterations and early exit
+  5. velocity correction + cylinder + BCs  correct_V!/set_cylinder!/set_bc_Vel!
+  6. semi-Lagrangian advection             advect!
+
+The reference's Poisson loop syncs to the host at every residual check
+(gpu.jl:132). Here the entire solve — including the convergence check and,
+on a sharded run, the cross-device max-reduction — lives inside one
+lax.while_loop under jit: zero host round-trips per step.
+
+Loop equivalence with the reference's `for iter=1:niter ... break`:
+  * run chunks of nchk iterations; after each chunk compute err; stop when
+    err < eps_it, err non-finite, or niter//nchk chunks done;
+  * if never converged, run the trailing niter % nchk iterations unchecked
+    (the reference's final partial chunk).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..bc import make_bc_fns
+from ..config import SimConfig
+from ..grid import Grid, make_grid
+from ..ops import physics as ph
+from ..ops.advect import advect
+from ..ops.cylinder import CylinderMasks, apply_cylinder, build_masks
+from ..state import FlowState, StepStats, zeros_state
+
+
+class ChorinSolver:
+    """Owns config-derived constants, masks and BC closures; exposes pure
+    jittable `init_state`, `step`, and `poisson_solve`."""
+
+    def __init__(self, cfg: SimConfig):
+        self.cfg = cfg
+        self.grid: Grid = make_grid(cfg)
+        self.dtype = cfg.numerics.jnp_dtype
+        if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "float64 requested but jax_enable_x64 is off; set "
+                "jax.config.update('jax_enable_x64', True) or use float32.")
+        self.masks: CylinderMasks = build_masks(cfg, self.grid)
+        self.set_bc_vel, self.set_bc_pr = make_bc_fns(cfg, self.grid)
+        self.step_jit = jax.jit(self.step, donate_argnums=0)
+
+    # ---- initialization ----
+
+    def init_state(self) -> FlowState:
+        """Initial conditions per variant.
+
+        multi (NavierStokes3D_multi_gpu.jl:368-373): inflow plane velocity
+        (written to Vy[1,:,:] in the reference — a typo kept under compat;
+        Vx under compat=False), hydrostatic pressure from global z
+        (zero when g=0), then the cylinder mask.
+        gpu (NavierStokes3D_gpu.jl:84-88): 1/6-power-law Vx profile and
+        hydrostatic pressure; no cylinder application at init.
+        """
+        cfg, g, grid = self.cfg, self.cfg.physics.g, self.grid
+        rho = cfg.physics.rho
+        st = zeros_state(grid, self.dtype)
+        if cfg.variant == "multi":
+            if cfg.compat:
+                st = st.replace(vy=st.vy.at[0, :, :].set(cfg.physics.vin))
+            else:
+                st = st.replace(vx=st.vx.at[0, :, :].set(cfg.physics.vin))
+            # Pr(iz) = -(z_g(iz) - dz/2) ρ g with z_g(iz) = (iz-1) dz (:370)
+            iz = np.arange(1, grid.nz + 1)
+            pr_prof = -(((iz - 1) * grid.dz) - grid.dz / 2) * rho * g
+            pr = jnp.broadcast_to(
+                jnp.asarray(pr_prof, dtype=self.dtype)[None, None, :],
+                grid.shape_c)
+            st = st.replace(pr=pr)
+            c, vx, vy, vz = apply_cylinder(st.c, st.vx, st.vy, st.vz, self.masks)
+            st = st.replace(c=c, vx=vx, vy=vy, vz=vz)
+        else:  # gpu variant
+            zc = grid.zc()
+            prof = cfg.physics.vin * (7.0 / 6.0) * (
+                (zc + grid.lz / 2) / grid.lz) ** (1.0 / 6.0)
+            vx = jnp.broadcast_to(
+                jnp.asarray(prof, dtype=self.dtype)[None, None, :],
+                grid.shape_vx)
+            pr_prof = -(zc - grid.lz / 2) * rho * g
+            pr = jnp.broadcast_to(
+                jnp.asarray(pr_prof, dtype=self.dtype)[None, None, :],
+                grid.shape_c)
+            st = st.replace(vx=vx, pr=pr)
+        return st
+
+    # ---- Poisson solve ----
+
+    def poisson_solve(self, pr, dprdtau, divv):
+        grid, phys = self.grid, self.cfg.physics
+        num = self.cfg.numerics
+        rho, dt, dtau, damp = phys.rho, grid.dt, grid.dtau, grid.damp
+        dx, dy, dz = grid.dx, grid.dy, grid.dz
+        eps_it = num.eps_it
+        nchunks = grid.niter // grid.nchk
+        rem = grid.niter - nchunks * grid.nchk
+
+        def one_iter(_, carry):
+            pr, dpr = carry
+            pr, dpr = ph.poisson_iter(pr, dpr, divv, rho, dt, dtau, damp,
+                                      dx, dy, dz)
+            pr = self.set_bc_pr(pr)
+            return (pr, dpr)
+
+        def run_iters(pr, dpr, n):
+            return lax.fori_loop(0, n, one_iter, (pr, dpr))
+
+        def residual_err(pr):
+            # err = max|Rp| * ly^2 / psc, in the reference's evaluation
+            # order (NavierStokes3D_gpu.jl:132).
+            rp = ph.poisson_residual(pr, divv, rho, dt, dx, dy, dz)
+            return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
+
+        big = jnp.asarray(1e30, dtype=self.dtype)  # finite "not checked yet"
+
+        def cond(stv):
+            _, _, k, err, _ = stv
+            return (k < nchunks) & (err >= eps_it) & jnp.isfinite(err)
+
+        def body(stv):
+            pr, dpr, k, err, hist = stv
+            pr, dpr = run_iters(pr, dpr, grid.nchk)
+            err = residual_err(pr)
+            hist = hist.at[k].set(err)
+            return (pr, dpr, k + 1, err, hist)
+
+        hist0 = jnp.full((max(nchunks, 1),), jnp.nan, dtype=self.dtype)
+        pr, dprdtau, k, err, hist = lax.while_loop(
+            cond, body, (pr, dprdtau, jnp.int32(0), big, hist0))
+
+        iters = k * grid.nchk
+        if rem > 0:
+            # The reference's trailing partial chunk runs only if the loop
+            # reached niter without converging (gpu.jl:126-137).
+            do_tail = (k >= nchunks) & (err >= eps_it) & jnp.isfinite(err)
+            pr, dprdtau = lax.cond(
+                do_tail,
+                lambda args: run_iters(*args, rem),
+                lambda args: args,
+                (pr, dprdtau))
+            iters = iters + jnp.where(do_tail, rem, 0)
+
+        return pr, dprdtau, StepStats(iters=iters, err=err, err_hist=hist)
+
+    # ---- full step ----
+
+    def step(self, state: FlowState) -> Tuple[FlowState, StepStats]:
+        grid, phys = self.grid, self.cfg.physics
+        rho, mu, g = phys.rho, phys.mu, phys.g
+        dt = grid.dt
+        dx, dy, dz = grid.dx, grid.dy, grid.dz
+
+        taus = ph.update_tau(state.vx, state.vy, state.vz, mu, dx, dy, dz)
+        vx, vy, vz = ph.predict_v(state.vx, state.vy, state.vz, *taus,
+                                  rho, g, dt, dx, dy, dz)
+        c, vx, vy, vz = apply_cylinder(state.c, vx, vy, vz, self.masks)
+        divv = ph.update_divv(vx, vy, vz, dx, dy, dz)
+        pr, dprdtau, stats = self.poisson_solve(state.pr, state.dprdtau, divv)
+        vx, vy, vz = ph.correct_v(vx, vy, vz, pr, dt, rho, dx, dy, dz)
+        c, vx, vy, vz = apply_cylinder(c, vx, vy, vz, self.masks)
+        vx, vy, vz = self.set_bc_vel(vx, vy, vz)
+        vx, vy, vz, c = advect(vx, vy, vz, c, dt, dx, dy, dz,
+                               compat=self.cfg.compat)
+        new_state = FlowState(pr=pr, vx=vx, vy=vy, vz=vz, c=c,
+                              dprdtau=dprdtau)
+        return new_state, stats
+
+    # ---- convenience driver (host loop; I/O hooks live in run.py) ----
+
+    def run(self, nt: int | None = None, state: FlowState | None = None,
+            callback=None):
+        nt = self.cfg.numerics.nt if nt is None else nt
+        state = self.init_state() if state is None else state
+        all_stats = []
+        for it in range(1, nt + 1):
+            state, stats = self.step_jit(state)
+            all_stats.append(stats)
+            if callback is not None:
+                callback(it, state, stats)
+        return state, all_stats
+
+
+def gather_inner(state: FlowState):
+    """Global inner fields as returned by the reference's final gather
+    (NavierStokes3D_multi_gpu.jl:528-535): C,Pr (nx-2,ny-2,nz-2) and the
+    velocities with their staggered dim one larger."""
+    sl = slice(1, -1)
+    return (
+        np.asarray(state.c[sl, sl, sl]),
+        np.asarray(state.pr[sl, sl, sl]),
+        np.asarray(state.vx[sl, sl, sl]),
+        np.asarray(state.vy[sl, sl, sl]),
+        np.asarray(state.vz[sl, sl, sl]),
+    )

@@ -1,0 +1,57 @@
+"""Flow state pytree.
+
+The reference mutates device arrays in place (Pr, V*, C, dPrdτ allocated at
+NavierStokes3D_gpu.jl:65-82). Here state is a functional pytree: every step
+maps FlowState -> FlowState, which makes checkpoint/resume trivial and lets
+XLA manage buffer aliasing (donation) for in-place updates.
+
+dprdtau is stored at full cell-centered shape (nx,ny,nz) with an inactive
+boundary ring (always zero), rather than the reference's (nx-2,ny-2,nz-2)
+(NavierStokes3D_gpu.jl:66): uniform shapes shard evenly over a device mesh
+and let the pressure update fuse into a single full-array AXPY.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .grid import Grid
+
+
+@struct.dataclass
+class FlowState:
+    pr: jax.Array        # pressure, (nx, ny, nz)
+    vx: jax.Array        # (nx+1, ny, nz)
+    vy: jax.Array        # (nx, ny+1, nz)
+    vz: jax.Array        # (nx, ny, nz+1)
+    c: jax.Array         # tracer concentration, (nx, ny, nz)
+    dprdtau: jax.Array   # pseudo-time pressure derivative, (nx, ny, nz)
+
+
+@struct.dataclass
+class StepStats:
+    """Per-step observability record.
+
+    err_hist[k] is the Poisson residual at the k-th convergence check
+    (every nchk iterations, NavierStokes3D_gpu.jl:130-136); NaN for checks
+    that never ran because the loop converged earlier.
+    """
+    iters: jax.Array      # Poisson iterations executed (scalar int32)
+    err: jax.Array        # final residual (scalar)
+    err_hist: jax.Array   # (niter // nchk,)
+
+
+def zeros_state(grid: Grid, dtype) -> FlowState:
+    z = lambda s: jnp.zeros(s, dtype=dtype)
+    return FlowState(
+        pr=z(grid.shape_c),
+        vx=z(grid.shape_vx),
+        vy=z(grid.shape_vy),
+        vz=z(grid.shape_vz),
+        c=z(grid.shape_c),
+        dprdtau=z(grid.shape_c),
+    )
