@@ -1,0 +1,98 @@
+"""Benchmark: the reference's showcase config (255x153x153 cylinder flow,
+NavierStokes3D_gpu.jl:44 / README.md:59) on one TPU chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no performance numbers (BASELINE.md), so
+vs_baseline is measured against the analytic HBM roofline of the Poisson
+hot loop — the fraction of speed-of-light achieved. Each damped
+pseudo-transient iteration must move at minimum: read Pr + dprdtau + divv,
+write Pr + dprdtau (5 full grids); the BC planes and residual checks are
+amortized. Diagnostics go to stderr.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".cache", "jax"))
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+import navierstokes3d_tpu as ns  # noqa: E402
+
+HBM_GBPS = {  # peak HBM bandwidth per chip
+    "v5 lite": 819.0, "v5e": 819.0, "v4": 1228.0, "v5p": 2765.0,
+    "v6e": 1640.0, "cpu": 50.0,
+}
+
+
+def device_hbm_gbps() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in HBM_GBPS.items():
+        if k in kind:
+            return v
+    return 819.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=255)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--dtype", default="float32")
+    args = ap.parse_args()
+
+    cfg = ns.preset_gpu(nx=args.nx, nt=args.steps, compat=False,
+                        dtype=args.dtype)
+    solver = ns.ChorinSolver(cfg)
+    g = solver.grid
+    log(f"grid {g.nx}x{g.ny}x{g.nz} dtype={args.dtype} "
+        f"device={jax.devices()[0].device_kind} niter={g.niter} nchk={g.nchk}")
+
+    state = solver.init_state()
+    t0 = time.time()
+    state, stats = solver.step_jit(state)
+    jax.block_until_ready(state.pr)
+    log(f"warmup step (incl. compile): {time.time()-t0:.1f}s "
+        f"iters={int(stats.iters)}")
+
+    total_iters, t0 = 0, time.time()
+    for i in range(args.steps):
+        state, stats = solver.step_jit(state)
+        jax.block_until_ready(state.pr)
+        total_iters += int(stats.iters)
+        log(f"step {i}: iters={int(stats.iters)} err={float(stats.err):.3e}")
+    wall = time.time() - t0
+    if np.isnan(np.asarray(state.pr)).any():
+        log("ERROR: NaNs in pressure field")
+    iters_per_sec = total_iters / wall
+    time_per_step = wall / args.steps
+
+    # HBM roofline for the Poisson hot loop (5 grid passes per iteration)
+    itemsize = np.dtype(args.dtype).itemsize
+    cells = g.nx * g.ny * g.nz
+    bytes_per_iter = 5 * cells * itemsize
+    roofline_iters = device_hbm_gbps() * 1e9 / bytes_per_iter
+    log(f"time/step={time_per_step:.3f}s iters/s={iters_per_sec:.0f} "
+        f"roofline={roofline_iters:.0f} iters/s "
+        f"({100*iters_per_sec/roofline_iters:.1f}% of speed-of-light)")
+
+    print(json.dumps({
+        "metric": f"poisson_iters_per_sec_{g.nx}x{g.ny}x{g.nz}_{args.dtype}",
+        "value": round(iters_per_sec, 1),
+        "unit": "iter/s",
+        "vs_baseline": round(iters_per_sec / roofline_iters, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

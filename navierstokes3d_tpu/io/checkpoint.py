@@ -1,0 +1,46 @@
+"""Checkpoint / resume.
+
+The reference can only save (raw .bin / .mat dumps with no loader,
+SURVEY.md §5); with functional state, resume is trivial and added here:
+a single .npz holds every FlowState field plus step metadata, and
+`load_checkpoint` reconstructs the exact state (same dtype) so a resumed
+run continues bit-for-bit from where it stopped.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..state import FlowState
+
+_FIELDS = ("pr", "vx", "vy", "vz", "c", "dprdtau")
+
+
+def save_checkpoint(path: str, state: FlowState, it: int) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, it=np.int64(it),
+             **{f: np.asarray(getattr(state, f)) for f in _FIELDS})
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def load_checkpoint(path: str, dtype=None) -> Tuple[FlowState, int]:
+    with np.load(path) as z:
+        arrs = {f: z[f] for f in _FIELDS}
+        it = int(z["it"])
+    if dtype is not None:
+        arrs = {k: v.astype(dtype) for k, v in arrs.items()}
+    return FlowState(**{k: jnp.asarray(v) for k, v in arrs.items()}), it
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    cands = [f for f in os.listdir(ckpt_dir)
+             if f.startswith("ckpt_") and f.endswith(".npz")]
+    if not cands:
+        return None
+    return os.path.join(ckpt_dir, max(cands))

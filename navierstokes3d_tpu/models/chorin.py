@@ -58,6 +58,22 @@ class ChorinSolver:
         self.set_bc_vel, self.set_bc_pr = make_bc_fns(cfg, self.grid)
         self.step_jit = jax.jit(self.step, donate_argnums=0)
 
+    def step_sharded_jit(self, mesh):
+        """Jitted step over a 3D device mesh (global-view SPMD path).
+
+        The XLA SPMD partitioner turns the stencil slices into neighbor
+        collective-permutes (halo exchanges) and the residual max into an
+        all-reduce, all inside the jitted while_loop — the TPU-native
+        replacement for the reference's update_halo!/MPI.Allreduce
+        (NavierStokes3D_multi_gpu.jl:450-466).
+        """
+        from ..parallel.mesh import replicated, state_shardings
+        sh = state_shardings(mesh)
+        rep = replicated(mesh)
+        stats_sh = StepStats(iters=rep, err=rep, err_hist=rep)
+        return jax.jit(self.step, donate_argnums=0,
+                       in_shardings=(sh,), out_shardings=(sh, stats_sh))
+
     # ---- initialization ----
 
     def init_state(self) -> FlowState:

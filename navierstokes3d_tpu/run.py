@@ -1,0 +1,135 @@
+"""CLI driver: the TPU-native equivalent of the reference's run loops
+(runme, NavierStokes3D_gpu.jl:12-173 and run_navierstokes3D,
+NavierStokes3D_multi_gpu.jl:287-536), unified over both presets.
+
+Usage:
+  python -m navierstokes3d_tpu.run --preset multi --nx 63 --nt 100 \\
+      --save --vis --checkpoint-every 50 [--resume] [--dtype float32]
+
+Adds over the reference: structured per-step logging (time/step, Poisson
+iters, residual), checkpoint/resume, and a device-mesh option for sharded
+execution.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", choices=("multi", "gpu"), default="multi")
+    ap.add_argument("--nx", type=int, default=63)
+    ap.add_argument("--nt", type=int, default=10)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--compat", action="store_true",
+                    help="replicate reference quirks bit-for-bit")
+    ap.add_argument("--vis", action="store_true")
+    ap.add_argument("--save", action="store_true")
+    ap.add_argument("--nvis", type=int, default=10)
+    ap.add_argument("--nsave", type=int, default=10)
+    ap.add_argument("--out-dir", default="out_save")
+    ap.add_argument("--viz-dir", default="viz3D_out")
+    ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--ckpt-dir", default="ckpt")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--mesh", default=None,
+                    help="device mesh PXxPYxPZ, e.g. 2x2x2 (default: 1 chip)")
+    ap.add_argument("--x64", action="store_true",
+                    help="enable float64 (required for dtype=float64)")
+    ap.add_argument("--quiet", action="store_true")
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if args.x64 or args.dtype == "float64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
+    import jax
+
+    import navierstokes3d_tpu as ns
+    from navierstokes3d_tpu.io import (binio, checkpoint, matio, viz)
+    from navierstokes3d_tpu.utils.timers import RunTimer
+
+    preset = ns.preset_multi if args.preset == "multi" else ns.preset_gpu
+    cfg = preset(nx=args.nx, nt=args.nt, compat=args.compat,
+                 dtype=args.dtype)
+    solver = ns.ChorinSolver(cfg)
+    g = solver.grid
+
+    mesh = None
+    step = solver.step_jit
+    if args.mesh:
+        from navierstokes3d_tpu.parallel import make_mesh, shard_state
+        shape = tuple(int(p) for p in args.mesh.lower().split("x"))
+        mesh = make_mesh(shape=shape)
+        step = solver.step_sharded_jit(mesh)
+
+    it0 = 0
+    if args.resume:
+        ck = checkpoint.latest_checkpoint(args.ckpt_dir)
+        if ck is not None:
+            state, it0 = checkpoint.load_checkpoint(ck, dtype=cfg.numerics.jnp_dtype)
+            if not args.quiet:
+                print(f"resumed from {ck} at step {it0}", file=sys.stderr)
+        else:
+            state = solver.init_state()
+    else:
+        state = solver.init_state()
+    if mesh is not None:
+        from navierstokes3d_tpu.parallel import shard_state
+        state = shard_state(state, mesh)
+
+    def dump_frame(iframe, state, stats=None):
+        c, pr, vx, vy, vz = ns.gather_inner(state)
+        fields = {"C": c, "Pr": pr, "Vx": vx, "Vy": vy, "Vz": vz}
+        if args.save:
+            binio.save_fields(args.out_dir, iframe, fields)
+            matio.save_step_mat(args.out_dir, iframe, pr, vx, vy, vz, c,
+                                g.dx, g.dy, g.dz)
+        if args.vis:
+            viz.save_frame(args.viz_dir, iframe, g, fields,
+                           t=iframe * args.nvis * g.dt)
+            if stats is not None:
+                hist = np.asarray(stats.err_hist)
+                valid = ~np.isnan(hist)
+                if valid.any():
+                    iters_axis = (np.arange(len(hist))[valid] + 1) * g.nchk / g.ny
+                    viz.save_convergence(args.viz_dir, iframe,
+                                         iters_axis, hist[valid])
+
+    iframe = 0
+    if args.save or args.vis:
+        dump_frame(iframe, state)
+        iframe += 1
+
+    timer = RunTimer()
+    for it in range(it0 + 1, it0 + args.nt + 1):
+        timer.start()
+        state, stats = step(state)
+        jax.block_until_ready(state.pr)
+        rec = timer.stop(it, int(stats.iters), float(stats.err))
+        if not args.quiet:
+            print(f"#it = {it}  iters = {rec.poisson_iters}  "
+                  f"err = {rec.err:.3e}  wall = {rec.wall_s:.3f}s",
+                  file=sys.stderr)
+        if (args.save or args.vis) and it % min(args.nvis, args.nsave) == 0:
+            dump_frame(iframe, state, stats)
+            iframe += 1
+        if args.checkpoint_every and it % args.checkpoint_every == 0:
+            checkpoint.save_checkpoint(
+                os.path.join(args.ckpt_dir, f"ckpt_{it:07d}.npz"), state, it)
+
+    summary = timer.summary()
+    print(json.dumps(summary))
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""I/O layer: binary format parity, MAT round-trip, checkpoint/resume."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import navierstokes3d_tpu as ns
+from navierstokes3d_tpu.io import binio, checkpoint, matio
+
+
+def test_bin_roundtrip_column_major(tmp_path):
+    """The .bin layout must match Julia's column-major write
+    (NavierStokes3D_multi_gpu.jl:27-30): element (i,j,k) at flat index
+    i + j*n1 + k*n1*n2."""
+    a = np.arange(24, dtype=np.float64).reshape(2, 3, 4)
+    p = binio.save_array(str(tmp_path / "t"), a)
+    raw = np.fromfile(p, dtype=np.float32)
+    assert raw[0] == a[0, 0, 0]
+    assert raw[1] == a[1, 0, 0]          # i fastest
+    assert raw[2] == a[0, 1, 0]          # then j
+    assert raw[2 * 3] == a[0, 0, 1]      # then k
+    back = binio.load_array(p, a.shape)
+    np.testing.assert_array_equal(back, a.astype(np.float32))
+
+
+def test_save_fields_naming(tmp_path):
+    paths = binio.save_fields(str(tmp_path), 7,
+                              {"C": np.zeros((2, 2, 2)),
+                               "Pr": np.ones((2, 2, 2))})
+    assert paths["C"].endswith("out_C_v_0007.bin")
+    assert os.path.exists(paths["Pr"])
+
+
+def test_mat_roundtrip(tmp_path):
+    pr = np.random.default_rng(0).random((3, 4, 5))
+    p = matio.save_step_mat(str(tmp_path), 3, pr, pr, pr, pr, pr,
+                            0.1, 0.2, 0.3)
+    d = matio.load_step_mat(p)
+    np.testing.assert_allclose(d["Pr"], pr)
+    assert float(d["dx"]) == 0.1
+
+
+def test_checkpoint_resume_bitexact(tmp_path):
+    """A resumed run must continue exactly where the original stopped."""
+    cfg = ns.preset_multi(nx=9, nt=4, compat=False)
+    solver = ns.ChorinSolver(cfg)
+
+    state = solver.init_state()
+    for _ in range(2):
+        state, _ = solver.step_jit(state)
+    ck = checkpoint.save_checkpoint(str(tmp_path / "ckpt_0000002.npz"),
+                                    state, 2)
+    # continue the original
+    cont = state
+    for _ in range(2):
+        cont, _ = solver.step_jit(cont)
+    # resume from disk and continue
+    resumed, it = checkpoint.load_checkpoint(str(tmp_path / "ckpt_0000002.npz"),
+                                             dtype=cfg.numerics.jnp_dtype)
+    assert it == 2
+    for _ in range(2):
+        resumed, _ = solver.step_jit(resumed)
+    for name in ("pr", "vx", "vy", "vz", "c", "dprdtau"):
+        np.testing.assert_array_equal(np.asarray(getattr(cont, name)),
+                                      np.asarray(getattr(resumed, name)),
+                                      err_msg=name)
+
+
+def test_cli_end_to_end(tmp_path):
+    """Drive the CLI: short run with save+vis+checkpoint, then resume."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    base = [sys.executable, "-m", "navierstokes3d_tpu.run",
+            "--preset", "multi", "--nx", "9", "--dtype", "float32",
+            "--out-dir", str(tmp_path / "out"),
+            "--viz-dir", str(tmp_path / "viz"),
+            "--ckpt-dir", str(tmp_path / "ck"), "--quiet"]
+    r = subprocess.run(base + ["--nt", "4", "--save", "--vis",
+                               "--nvis", "2", "--nsave", "2",
+                               "--checkpoint-every", "2"],
+                       capture_output=True, text=True,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "out" / "out_Pr_v_0001.bin").exists()
+    assert (tmp_path / "viz" / "3D_NavierStokes_xy_Pr_0001.png").exists()
+    assert (tmp_path / "ck" / "ckpt_0000004.npz").exists()
+    # resume two more steps
+    r2 = subprocess.run(base + ["--nt", "2", "--resume"],
+                        capture_output=True, text=True,
+                        cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed" in r2.stderr or r2.returncode == 0
