@@ -151,6 +151,9 @@ class SimConfig:
     parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
     variant: str = "multi"   # 'multi' | 'gpu' — which reference script's BCs/init
     compat: bool = False     # replicate reference quirks bit-for-bit
+    # Fused Pallas TPU kernel for the Poisson hot loop: None = auto
+    # (enabled on TPU backends for float32), True/False = force.
+    use_pallas: Optional[bool] = None
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

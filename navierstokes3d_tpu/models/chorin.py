@@ -56,7 +56,45 @@ class ChorinSolver:
                 "jax.config.update('jax_enable_x64', True) or use float32.")
         self.masks: CylinderMasks = build_masks(cfg, self.grid)
         self.set_bc_vel, self.set_bc_pr = make_bc_fns(cfg, self.grid)
+        self._init_pallas()
         self.step_jit = jax.jit(self.step, donate_argnums=0)
+
+    def _init_pallas(self):
+        """Build the fused Poisson-iteration Pallas kernel when enabled.
+
+        Auto policy: on for float32 on TPU-class backends; the jnp path
+        remains the oracle (and the float64 / CPU / sharded path).
+        """
+        from ..kernels.poisson import (PoissonBCSpec, build_poisson_iter,
+                                       choose_slab)
+        cfg, grid = self.cfg, self.grid
+        self._pallas = None
+        want = cfg.use_pallas
+        backend = jax.default_backend()
+        on_tpu = backend not in ("cpu", "gpu")
+        interpret = not on_tpu
+        if want is None:
+            want = on_tpu and self.dtype == jnp.float32
+        if not want:
+            return
+        nyz = grid.ny * grid.nz
+        if choose_slab(grid.nx, nyz, np.dtype(self.dtype).itemsize) < 2:
+            return  # in-slab x BCs need >=2 planes per slab
+        phys = cfg.physics
+        if cfg.variant == "multi":
+            bc = PoissonBCSpec(zero_grad_x=True, xlo_plane=None,
+                               xhi_plane=np.zeros(nyz))
+        else:
+            iz = np.arange(1, grid.nz + 1, dtype=np.float64)
+            prof = phys.rho * phys.g * (grid.nz - iz + 0.5) * grid.dz
+            prof2d = np.broadcast_to(prof[None, :], (grid.ny, grid.nz))
+            bc = PoissonBCSpec(zero_grad_x=False,
+                               xlo_plane=(prof2d + 100.0).ravel(),
+                               xhi_plane=prof2d.ravel())
+        self._pallas = build_poisson_iter(
+            grid.nx, grid.ny, grid.nz, grid.dx, grid.dy, grid.dz,
+            grid.dtau, grid.damp, bc, dtype=self.dtype,
+            interpret=interpret)
 
     def step_sharded_jit(self, mesh):
         """Jitted step over a 3D device mesh (global-view SPMD path).
@@ -120,6 +158,63 @@ class ChorinSolver:
     # ---- Poisson solve ----
 
     def poisson_solve(self, pr, dprdtau, divv):
+        if self._pallas is not None:
+            return self._poisson_solve_pallas(pr, dprdtau, divv)
+        return self._poisson_solve_jnp(pr, dprdtau, divv)
+
+    def _poisson_solve_pallas(self, pr, dprdtau, divv):
+        """Hot loop backed by the fused Pallas kernel (kernels/poisson.py):
+        one HBM pass per iteration, BCs included, state kept in the
+        flattened padded layout across the whole solve."""
+        grid, phys, num = self.grid, self.cfg.physics, self.cfg.numerics
+        rho, dt = phys.rho, grid.dt
+        eps_it = num.eps_it
+        nchunks = grid.niter // grid.nchk
+        rem = grid.niter - nchunks * grid.nchk
+        iter_fn, pack, unpack = self._pallas
+
+        rhs3d = (rho / dt) * divv
+        pr_pad, dpr_f, rhs_f = pack(pr, dprdtau, rhs3d)
+
+        def run_iters(pr_pad, dpr_f, n):
+            return lax.fori_loop(
+                0, n, lambda _, c: iter_fn(*c, rhs_f), (pr_pad, dpr_f))
+
+        def residual_err(pr_pad):
+            pr3d, _ = unpack(pr_pad, dpr_f)
+            rp = ph.poisson_residual(pr3d, divv, rho, dt,
+                                     grid.dx, grid.dy, grid.dz)
+            return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
+
+        big = jnp.asarray(1e30, dtype=self.dtype)
+
+        def cond(stv):
+            _, _, k, err, _ = stv
+            return (k < nchunks) & (err >= eps_it) & jnp.isfinite(err)
+
+        def body(stv):
+            pr_pad, dpr_f, k, err, hist = stv
+            pr_pad, dpr_f = run_iters(pr_pad, dpr_f, grid.nchk)
+            err = residual_err(pr_pad)
+            hist = hist.at[k].set(err)
+            return (pr_pad, dpr_f, k + 1, err, hist)
+
+        hist0 = jnp.full((max(nchunks, 1),), jnp.nan, dtype=self.dtype)
+        pr_pad, dpr_f, k, err, hist = lax.while_loop(
+            cond, body, (pr_pad, dpr_f, jnp.int32(0), big, hist0))
+        iters = k * grid.nchk
+        if rem > 0:
+            do_tail = (k >= nchunks) & (err >= eps_it) & jnp.isfinite(err)
+            pr_pad, dpr_f = lax.cond(
+                do_tail,
+                lambda args: run_iters(*args, rem),
+                lambda args: args,
+                (pr_pad, dpr_f))
+            iters = iters + jnp.where(do_tail, rem, 0)
+        pr, dprdtau = unpack(pr_pad, dpr_f)
+        return pr, dprdtau, StepStats(iters=iters, err=err, err_hist=hist)
+
+    def _poisson_solve_jnp(self, pr, dprdtau, divv):
         grid, phys = self.grid, self.cfg.physics
         num = self.cfg.numerics
         rho, dt, dtau, damp = phys.rho, grid.dt, grid.dtau, grid.damp
@@ -175,9 +270,39 @@ class ChorinSolver:
 
         return pr, dprdtau, StepStats(iters=iters, err=err, err_hist=hist)
 
+    def step_shard_map_jit(self, mesh):
+        """Jitted step whose Poisson hot loop runs under shard_map with
+        explicit ppermute halo exchanges and in-loop pmax reductions
+        (parallel/halo.py); the rest of the step stays global-view (XLA
+        partitions it). The communication-honest scaling path."""
+        from ..parallel.halo import build_poisson_shard_map
+        from ..parallel.mesh import replicated, state_shardings
+        solve = build_poisson_shard_map(
+            mesh, self.grid, self.cfg.physics, self.cfg.numerics.eps_it,
+            self.cfg.variant, self.dtype)
+        rho, dt = self.cfg.physics.rho, self.grid.dt
+
+        def poisson(pr, dprdtau, divv):
+            pr, dprdtau, iters, err, hist = solve(pr, dprdtau,
+                                                  (rho / dt) * divv)
+            return pr, dprdtau, StepStats(iters=iters, err=err,
+                                          err_hist=hist)
+
+        def step(state):
+            return self._step_impl(state, poisson)
+
+        sh = state_shardings(mesh)
+        rep = replicated(mesh)
+        stats_sh = StepStats(iters=rep, err=rep, err_hist=rep)
+        return jax.jit(step, donate_argnums=0,
+                       in_shardings=(sh,), out_shardings=(sh, stats_sh))
+
     # ---- full step ----
 
     def step(self, state: FlowState) -> Tuple[FlowState, StepStats]:
+        return self._step_impl(state, self.poisson_solve)
+
+    def _step_impl(self, state: FlowState, poisson_fn) -> Tuple[FlowState, StepStats]:
         grid, phys = self.grid, self.cfg.physics
         rho, mu, g = phys.rho, phys.mu, phys.g
         dt = grid.dt
@@ -188,7 +313,7 @@ class ChorinSolver:
                                   rho, g, dt, dx, dy, dz)
         c, vx, vy, vz = apply_cylinder(state.c, vx, vy, vz, self.masks)
         divv = ph.update_divv(vx, vy, vz, dx, dy, dz)
-        pr, dprdtau, stats = self.poisson_solve(state.pr, state.dprdtau, divv)
+        pr, dprdtau, stats = poisson_fn(state.pr, state.dprdtau, divv)
         vx, vy, vz = ph.correct_v(vx, vy, vz, pr, dt, rho, dx, dy, dz)
         c, vx, vy, vz = apply_cylinder(c, vx, vy, vz, self.masks)
         vx, vy, vz = self.set_bc_vel(vx, vy, vz)

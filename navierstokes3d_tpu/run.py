@@ -42,16 +42,21 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="device mesh PXxPYxPZ, e.g. 2x2x2 (default: 1 chip)")
     ap.add_argument("--x64", action="store_true",
                     help="enable float64 (required for dtype=float64)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu). Needed because "
+                         "the axon TPU plugin ignores JAX_PLATFORMS; the "
+                         "config API wins.")
     ap.add_argument("--quiet", action="store_true")
     return ap
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    if args.x64 or args.dtype == "float64":
-        import jax
-        jax.config.update("jax_enable_x64", True)
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.x64 or args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
 
     import navierstokes3d_tpu as ns
     from navierstokes3d_tpu.io import (binio, checkpoint, matio, viz)

@@ -1,0 +1,119 @@
+"""Pallas fused Poisson kernel vs the jnp oracle (interpret mode on CPU).
+
+The kernel multiplies by precomputed 1/dx^2 while the oracle divides
+(/dx/dx, the reference's exact order), so f32 results differ at rounding
+level; from random input the marginally-stable iteration amplifies that
+(see test_step_oracle.py). Correctness is asserted two ways: single
+iteration at rounding tolerance, and 10 chained iterations staying at
+least as close to an f64 oracle as the f32 jnp path itself.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import navierstokes3d_tpu as ns
+from navierstokes3d_tpu.kernels.poisson import PoissonBCSpec, build_poisson_iter
+from navierstokes3d_tpu.ops import physics as ph
+
+RNG = np.random.default_rng(3)
+
+
+def _setup(variant, nx=12):
+    preset = ns.preset_multi if variant == "multi" else ns.preset_gpu
+    cfg = preset(nx=nx, nt=1, compat=False, dtype="float32")
+    solver = ns.ChorinSolver(cfg.replace(use_pallas=False))
+    g = solver.grid
+    pr = RNG.standard_normal(g.shape_c)
+    dpr = np.zeros(g.shape_c)
+    dpr[1:-1, 1:-1, 1:-1] = RNG.standard_normal(
+        (g.nx - 2, g.ny - 2, g.nz - 2))
+    divv = RNG.standard_normal(g.shape_c)
+    return cfg, solver, g, pr, dpr, divv
+
+
+def _pallas_fn(cfg, g, slab=None):
+    phys = cfg.physics
+    nyz = g.ny * g.nz
+    if cfg.variant == "multi":
+        bc = PoissonBCSpec(True, None, np.zeros(nyz))
+    else:
+        iz = np.arange(1, g.nz + 1, dtype=np.float64)
+        prof = phys.rho * phys.g * (g.nz - iz + 0.5) * g.dz
+        prof2d = np.broadcast_to(prof[None, :], (g.ny, g.nz))
+        bc = PoissonBCSpec(False, (prof2d + 100.0).ravel(), prof2d.ravel())
+    return build_poisson_iter(g.nx, g.ny, g.nz, g.dx, g.dy, g.dz,
+                              g.dtau, g.damp, bc, dtype=jnp.float32,
+                              slab=slab, interpret=True)
+
+
+@pytest.mark.parametrize("variant", ["multi", "gpu"])
+@pytest.mark.parametrize("slab", [None, 4, 3])
+def test_single_iteration_matches_jnp(variant, slab):
+    cfg, solver, g, pr, dpr, divv = _setup(variant)
+    rho, dt = cfg.physics.rho, g.dt
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    pr1, dpr1 = ph.poisson_iter(f32(pr), f32(dpr), f32(divv), rho, dt,
+                                g.dtau, g.damp, g.dx, g.dy, g.dz)
+    pr1 = solver.set_bc_pr(pr1)
+    iter_fn, pack, unpack = _pallas_fn(cfg, g, slab)
+    pp, df, rf = pack(f32(pr), f32(dpr), (rho / dt) * f32(divv))
+    pr2, dpr2 = unpack(*iter_fn(pp, df, rf))
+    scale = max(1.0, np.abs(np.asarray(pr1)).max())
+    np.testing.assert_allclose(np.asarray(pr2) / scale,
+                               np.asarray(pr1) / scale, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dpr2), np.asarray(dpr1),
+                               rtol=1e-4, atol=1e-3)
+    # boundary ring of dprdtau must be exactly zero
+    ring = np.asarray(dpr2).copy()
+    ring[1:-1, 1:-1, 1:-1] = 0.0
+    assert np.all(ring == 0.0)
+
+
+def test_chained_iterations_track_f64_oracle():
+    """10 chained kernel iterations must stay as close to the f64 oracle
+    as the f32 jnp path does (catches pipeline/halo/aliasing bugs, which
+    would produce O(1) divergence)."""
+    jax.config.update("jax_enable_x64", True)
+    cfg, solver, g, pr, dpr, divv = _setup("multi")
+    rho, dt = cfg.physics.rho, g.dt
+
+    p64, d64 = jnp.asarray(pr), jnp.asarray(dpr)
+    dv64 = jnp.asarray(divv)
+    p32, d32 = jnp.asarray(pr, jnp.float32), jnp.asarray(dpr, jnp.float32)
+    dv32 = jnp.asarray(divv, jnp.float32)
+    for _ in range(10):
+        p64, d64 = ph.poisson_iter(p64, d64, dv64, rho, dt, g.dtau, g.damp,
+                                   g.dx, g.dy, g.dz)
+        p64 = solver.set_bc_pr(p64)
+        p32, d32 = ph.poisson_iter(p32, d32, dv32, rho, dt, g.dtau, g.damp,
+                                   g.dx, g.dy, g.dz)
+        p32 = solver.set_bc_pr(p32)
+
+    iter_fn, pack, unpack = _pallas_fn(cfg, g, slab=4)
+    pp, df, rf = pack(jnp.asarray(pr, jnp.float32),
+                      jnp.asarray(dpr, jnp.float32), (rho / dt) * dv32)
+    for _ in range(10):
+        pp, df = iter_fn(pp, df, rf)
+    pk, _ = unpack(pp, df)
+
+    err_jnp32 = np.abs(np.asarray(p32) - np.asarray(p64)).max()
+    err_pallas = np.abs(np.asarray(pk) - np.asarray(p64)).max()
+    assert err_pallas <= 3 * err_jnp32 + 1e-6, (err_pallas, err_jnp32)
+
+
+def test_full_step_with_pallas_interpret():
+    """Whole solver step with the Pallas Poisson path (interpret mode):
+    same iteration counts and close fields vs the jnp path."""
+    cfg = ns.preset_multi(nx=12, nt=1, compat=False, dtype="float32")
+    s_ref = ns.ChorinSolver(cfg.replace(use_pallas=False))
+    s_pal = ns.ChorinSolver(cfg.replace(use_pallas=True))
+    assert s_pal._pallas is not None
+    st_ref, stats_ref = s_ref.step_jit(s_ref.init_state())
+    st_pal, stats_pal = s_pal.step_jit(s_pal.init_state())
+    assert int(stats_ref.iters) == int(stats_pal.iters)
+    for name in ("pr", "vx", "vy", "vz", "c"):
+        a, b = np.asarray(getattr(st_ref, name)), np.asarray(getattr(st_pal, name))
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4, err_msg=name)

@@ -82,3 +82,29 @@ def test_three_steps_sharded_from_init():
         st_shard, stats_shard = step_sh(st_shard)
         assert int(stats_single.iters) == int(stats_shard.iters)
     assert not np.isnan(np.asarray(st_shard.pr)).any()
+
+
+@pytest.mark.parametrize("variant", ["multi", "gpu"])
+def test_shard_map_poisson_equals_single(variant):
+    """The explicit ppermute-halo shard_map Poisson path (parallel/halo.py)
+    must match the single-device solve."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    preset = ns.preset_multi if variant == "multi" else ns.preset_gpu
+    cfg = preset(nx=16, nt=1, compat=False)
+    cfg = cfg.replace(numerics=dataclasses.replace(
+        cfg.numerics, niter_scale=1))
+    solver = ns.ChorinSolver(cfg)
+    ref_state, ref_stats = solver.step_jit(_random_state(solver))
+    mesh = make_mesh(devices=jax.devices()[:8])
+    st_sh = shard_state(_random_state(solver), mesh)
+    sm_state, sm_stats = solver.step_shard_map_jit(mesh)(st_sh)
+    assert int(ref_stats.iters) == int(sm_stats.iters)
+    np.testing.assert_allclose(float(ref_stats.err), float(sm_stats.err),
+                               rtol=1e-10)
+    for name in ("pr", "vx", "vy", "vz", "c", "dprdtau"):
+        a = np.asarray(getattr(ref_state, name))
+        b = np.asarray(getattr(sm_state, name))
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=1e-12,
+                                   err_msg=name)
