@@ -17,14 +17,26 @@ from typing import Dict
 
 import numpy as np
 
+from . import native
+
 FIELD_ORDER = ("C", "Pr", "Vx", "Vy", "Vz")
 
 
-def save_array(path_noext: str, a: np.ndarray) -> str:
+def save_array(path_noext: str, a: np.ndarray, *,
+               asynchronous: bool = False) -> str:
     """Write `a` as Float32 raw binary in Julia (column-major) element
-    order to `path_noext + '.bin'`."""
+    order to `path_noext + '.bin'`.
+
+    Uses the native C++ runtime (cache-blocked transpose + background
+    writer thread) when built; `asynchronous=True` queues the disk write
+    so the step loop is not stalled — call io.native.drain() before
+    reading frames back."""
     fname = path_noext + ".bin"
-    np.asarray(a, dtype=np.float32).flatten(order="F").tofile(fname)
+    arr = np.asarray(a)
+    if arr.ndim == 3 and native.write_f32(fname, arr,
+                                          asynchronous=asynchronous):
+        return fname
+    np.asarray(arr, dtype=np.float32).flatten(order="F").tofile(fname)
     return fname
 
 

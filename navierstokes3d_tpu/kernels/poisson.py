@@ -3,29 +3,30 @@
 One invocation performs a full damped Jacobi-style iteration INCLUDING the
 boundary conditions (the reference's update_dPrdτ! + update_Pr! +
 set_bc_Pr! sequence, NavierStokes3D_gpu.jl:199-207,281-286 /
-multi_gpu.jl:70-82,175-184) in a single pass over HBM:
+multi_gpu.jl:70-82,175-184) in one fused pass over HBM.
 
-    read  Pr (with 1-plane x halo), dPrdτ, rhs
-    write Pr', dPrdτ'            -- ~5.25 grid passes, the HBM minimum.
+Layout: fields are flattened to (nx, W) where W = ny*nz rounded up to the
+128-lane tile (Mosaic requires lane-aligned HBM DMA, and ny*nz lanes have
+<0.1% tile padding versus 1.75x for a trailing (ny,nz)=(153,153) pair).
+The y/z stencil becomes lane shifts of nz and 1; shift wrap-around and
+pad-lane garbage land only in the boundary ring, which is masked (dPrdτ
+ring stays 0) or overwritten by the in-kernel BCs.
 
-Layout: fields are flattened to (nx, ny*nz) so the TPU lane dimension is
-ny*nz (23409 for the showcase grid -> <0.1% tile padding, versus 1.75x
-for a trailing (ny,nz)=(153,153) pair). The y/z stencil becomes lane
-shifts of nz and 1; shift wrap-around lands only in the boundary ring,
-which is masked (dPrdτ ring stays 0) or overwritten by the in-kernel BCs.
-Pr carries 2 permanent pad planes in x so every slab DMA has uniform
-shape; pad-plane garbage only ever feeds masked ring cells.
-
-The kernel walks x-slabs with double-buffered async DMA (load slab s+1
-while computing slab s), the standard Pallas stencil pipeline. Jacobi
-semantics require separate in/out Pr buffers (a slab's left halo is the
-previous slab's unwritten old value); dPrdτ has no halo so it could alias,
-but is kept separate for clarity.
+Two pipeline modes:
+  * 'blocked' (default): grid over x-slabs with Pallas's automatic
+    double-buffered pipeline; the +-1-plane x halo comes from passing Pr
+    three times with shifted block index maps (prev/cur/next). Pr is read
+    3x -> ~7.25 grid passes per iteration. Simple and robust.
+  * 'dma': manual double-buffered async-copy pipeline reading Pr slabs
+    with a 2-plane halo once -> ~5.25 passes (the HBM minimum). Pr
+    carries 2 permanent pad planes in x so every slab DMA has uniform
+    shape.
+Jacobi semantics need separate in/out Pr buffers (a slab's halo must be
+the neighbor's old value).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -48,20 +49,17 @@ class PoissonBCSpec(NamedTuple):
     xhi_plane: Optional[np.ndarray]   # (ny*nz,) or None
 
 
-def choose_slab(nx: int, nyz: int, itemsize: int = 4,
-                vmem_budget: int = 12 * 2 ** 20) -> int:
-    """Largest divisor of nx whose slab working set fits the VMEM budget.
-
-    Working set: 2x(B+2) pr + 2xB dpr + 2xB rhs + B opr + B odpr planes,
-    each padded to 8-sublane multiples.
-    """
+def choose_slab(nx: int, w: int, itemsize: int = 4,
+                vmem_budget: int = 10 * 2 ** 20) -> int:
+    """Largest divisor of nx whose slab working set fits the VMEM budget
+    (sized for the heavier 'dma' mode; 'blocked' uses less)."""
     best = 1
+    pad = lambda n: ((n + 7) // 8) * 8
     for b in range(1, nx + 1):
         if nx % b:
             continue
-        pad = lambda n: ((n + 7) // 8) * 8
         planes = 2 * pad(b + 2) + 4 * pad(b) + 2 * pad(b)
-        if planes * nyz * itemsize <= vmem_budget:
+        if planes * w * itemsize <= vmem_budget:
             best = b
     return best
 
@@ -69,191 +67,252 @@ def choose_slab(nx: int, nyz: int, itemsize: int = 4,
 def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                        dz: float, dtau: float, damp: float,
                        bc: PoissonBCSpec, dtype=jnp.float32,
-                       slab: Optional[int] = None, interpret: bool = False):
+                       slab: Optional[int] = None, interpret: bool = False,
+                       mode: str = "blocked"):
     """Returns (iter_fn, pack, unpack):
 
-      pack(pr, dprdtau, rhs3d) -> (pr_pad, dpr_flat, rhs_flat)
-      iter_fn(pr_pad, dpr_flat, rhs_flat) -> (pr_pad', dpr_flat')
-      unpack(pr_pad, dpr_flat) -> (pr, dprdtau)
+      pack(pr, dprdtau, rhs3d) -> flattened state tuple
+      iter_fn(pr_flat, dpr_flat, rhs_flat) -> (pr_flat', dpr_flat')
+      unpack(pr_flat, dpr_flat) -> (pr, dprdtau) in (nx,ny,nz)
 
-    pr_pad: (nx+2, nyz) with real planes at [1:nx+1]; pad planes feed only
-    masked ring cells so their content is irrelevant.
+    'dma' mode keeps Pr padded to (nx+2, W) with real planes at [1:nx+1];
+    pad planes only ever feed masked ring cells.
     """
     nyz = ny * nz
-    B = slab or choose_slab(nx, nyz, np.dtype(dtype).itemsize)
+    W = ((nyz + 127) // 128) * 128
+    jdtype = jnp.dtype(dtype)
+    itemsize = np.dtype(dtype).itemsize
+    B = slab or choose_slab(nx, W, itemsize)
     S = nx // B
     inv_dx2 = np.array(1.0 / dx / dx, np.dtype(dtype))
     inv_dy2 = np.array(1.0 / dy / dy, np.dtype(dtype))
     inv_dz2 = np.array(1.0 / dz / dz, np.dtype(dtype))
-    one = np.array(1.0, np.dtype(dtype))
     dtau_c = np.array(dtau, np.dtype(dtype))
     decay = np.array(1.0 - damp, np.dtype(dtype))
 
-    # Precomputed per-lane index/mask rows (loaded once into VMEM, 93KB each)
-    j = np.arange(nyz, dtype=np.int32)
-    jrow = (j // nz).reshape(1, nyz)                     # y index per lane
-    zrow = (j % nz).reshape(1, nyz)                      # z index per lane
+    # Precomputed per-lane index/mask rows (each one (1,W) ~ 93KB in VMEM)
+    j = np.arange(W, dtype=np.int32)
+    real = j < nyz
+    jrow = np.where(real, j // nz, -1).reshape(1, W)     # y index per lane
+    zrow = np.where(real, j % nz, -1).reshape(1, W)      # z index per lane
     yz_interior = ((jrow >= 1) & (jrow <= ny - 2)
                    & (zrow >= 1) & (zrow <= nz - 2)).astype(np.dtype(dtype))
-    xlo = (np.zeros((1, nyz), np.dtype(dtype)) if bc.xlo_plane is None
-           else np.asarray(bc.xlo_plane, np.dtype(dtype)).reshape(1, nyz))
-    xhi = (np.zeros((1, nyz), np.dtype(dtype)) if bc.xhi_plane is None
-           else np.asarray(bc.xhi_plane, np.dtype(dtype)).reshape(1, nyz))
+
+    def lanes(plane):
+        out = np.zeros((1, W), np.dtype(dtype))
+        if plane is not None:
+            out[0, :nyz] = np.asarray(plane, np.dtype(dtype)).ravel()
+        return out
+
+    xlo = lanes(bc.xlo_plane)
+    xhi = lanes(bc.xhi_plane)
     has_xlo = bc.xlo_plane is not None
     has_xhi = bc.xhi_plane is not None
 
-    def kernel(pr_pad, dpr, rhs, yzmask, jrow_r, zrow_r, xlo_r, xhi_r,
-               pr_out, dpr_out,
-               pr_buf, dpr_buf, rhs_buf, opr_buf, odpr_buf,
-               load_sems, store_sems):
+    def compute_slab(p_ext, d, r, yzmask, jrow_r, zrow_r, xlo_r, xhi_r,
+                     first, last):
+        """Shared slab math: p_ext (B+2,W) old-Pr with x halo planes,
+        d/r (B,W). Returns (new_pr (B,W), new_dpr (B,W))."""
+        pc = p_ext[1:B + 1, :]
+        lap = (p_ext[2:B + 2, :] - 2.0 * pc + p_ext[0:B, :]) * inv_dx2
+        # pltpu.roll needs non-negative shifts: -k == W - k (cyclic)
+        lap += (pltpu.roll(pc, W - nz, 1) - 2.0 * pc
+                + pltpu.roll(pc, nz, 1)) * inv_dy2
+        lap += (pltpu.roll(pc, W - 1, 1) - 2.0 * pc
+                + pltpu.roll(pc, 1, 1)) * inv_dz2
+        d_new = (d * decay + dtau_c * (lap - r)) * yzmask[0:1, :]
+        # global x-ring planes (real x = 0 and nx-1) keep dPrdτ = 0; this
+        # also kills halo/pad garbage picked up by lap there.
+        row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+        ring = jnp.logical_or(jnp.logical_and(first, row == 0),
+                              jnp.logical_and(last, row == B - 1))
+        d_new = jnp.where(ring, jnp.zeros_like(d_new), d_new)
+        q = pc + dtau_c * d_new
+        # ---- boundary conditions on the updated pressure ----
+        if bc.zero_grad_x:
+            q = jnp.where(jnp.logical_and(first, row == 0),
+                          pltpu.roll(q, B - 1, 0), q)   # row 0 <- row 1
+            q = jnp.where(jnp.logical_and(last, row == B - 1),
+                          pltpu.roll(q, 1, 0), q)        # row B-1 <- row B-2
+        jr = jrow_r[0:1, :]
+        zr = zrow_r[0:1, :]
+        q = jnp.where(jr == 0, pltpu.roll(q, W - nz, 1), q)
+        q = jnp.where(jr == ny - 1, pltpu.roll(q, nz, 1), q)
+        q = jnp.where(zr == 0, pltpu.roll(q, W - 1, 1), q)
+        q = jnp.where(zr == nz - 1, pltpu.roll(q, 1, 1), q)
+        if has_xlo:
+            q = jnp.where(jnp.logical_and(first, row == 0), xlo_r[0:1, :], q)
+        if has_xhi:
+            q = jnp.where(jnp.logical_and(last, row == B - 1),
+                          xhi_r[0:1, :], q)
+        return q, d_new
 
-        def loads(slot, s):
-            return [
-                pltpu.make_async_copy(pr_pad.at[pl.ds(s * B, B + 2)],
-                                      pr_buf.at[slot], load_sems.at[slot, 0]),
-                pltpu.make_async_copy(dpr.at[pl.ds(s * B, B)],
-                                      dpr_buf.at[slot], load_sems.at[slot, 1]),
-                pltpu.make_async_copy(rhs.at[pl.ds(s * B, B)],
-                                      rhs_buf.at[slot], load_sems.at[slot, 2]),
-            ]
+    vmem_planes = (3 + 1 + 1 + 1 + 1) * (((B + 7) // 8) * 8) * 2 + 64
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(vmem_planes * W * itemsize + 2 ** 21,
+                                 100 * 2 ** 20)))
+    cost = pl.CostEstimate(
+        flops=20 * nx * W,
+        bytes_accessed=int((7.25 if mode == "blocked" else 5.3)
+                           * nx * W * itemsize),
+        transcendentals=0)
 
-        for dma in loads(0, 0):
-            dma.start()
-
-        def body(s, carry):
-            slot = s % 2
-            nxt = (s + 1) % 2
-
-            @pl.when(s + 1 < S)
-            def _():
-                for dma in loads(nxt, s + 1):
-                    dma.start()
-
-            for dma in loads(slot, s):
-                dma.wait()
-
-            p = pr_buf[slot]              # (B+2, nyz)
-            d = dpr_buf[slot]             # (B, nyz)
-            r = rhs_buf[slot]             # (B, nyz)
-            pc = p[1:B + 1, :]
-            lap = (p[2:B + 2, :] - 2.0 * pc + p[0:B, :]) * inv_dx2
-            # pltpu.roll requires non-negative shifts: -k == nyz - k
-            lap += (pltpu.roll(pc, nyz - nz, 1) - 2.0 * pc
-                    + pltpu.roll(pc, nz, 1)) * inv_dy2
-            lap += (pltpu.roll(pc, nyz - 1, 1) - 2.0 * pc
-                    + pltpu.roll(pc, 1, 1)) * inv_dz2
-            d_new = (d * decay + dtau_c * (lap - r)) * yzmask[0:1, :]
+    if mode == "blocked":
+        def kernel(prm, prc, prp, dpr, rhs, yzmask, jrow_r, zrow_r,
+                   xlo_r, xhi_r, pr_out, dpr_out):
+            s = pl.program_id(0)
             first = s == 0
             last = s == S - 1
-            # global x-ring planes (real x = 0 and nx-1) keep dPrdτ = 0;
-            # this also kills any pad-plane garbage picked up by lap there.
-            row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-            ring = jnp.logical_or(jnp.logical_and(first, row == 0),
-                                  jnp.logical_and(last, row == B - 1))
-            d_new = jnp.where(ring, jnp.zeros_like(d_new), d_new)
-            odpr_buf[:] = d_new
-            opr_buf[:] = pc + dtau_c * d_new
+            # x halo: last row of previous block / first row of next block.
+            # At the edges the clamped blocks supply garbage that only
+            # reaches masked ring rows.
+            p_ext = jnp.concatenate(
+                [prm[B - 1:B, :], prc[:, :], prp[0:1, :]], axis=0)
+            q, d_new = compute_slab(p_ext, dpr[:, :], rhs[:, :], yzmask,
+                                    jrow_r, zrow_r, xlo_r, xhi_r,
+                                    first, last)
+            pr_out[:, :] = q
+            dpr_out[:, :] = d_new
 
-            # ---- boundary conditions on the updated pressure ----
-            if bc.zero_grad_x:
-                @pl.when(first)
+        row_block = lambda off: pl.BlockSpec(
+            (B, W),
+            (lambda s: (jnp.clip(s + off, 0, S - 1), 0)),
+            memory_space=pltpu.VMEM)
+        lane_row = pl.BlockSpec((1, W), (lambda s: (0, 0)),
+                                memory_space=pltpu.VMEM)
+        pallas_iter = pl.pallas_call(
+            kernel,
+            grid=(S,),
+            out_shape=(
+                jax.ShapeDtypeStruct((nx, W), jdtype),
+                jax.ShapeDtypeStruct((nx, W), jdtype),
+            ),
+            in_specs=[
+                row_block(-1), row_block(0), row_block(+1),  # pr x3
+                row_block(0),                                 # dpr
+                row_block(0),                                 # rhs
+                lane_row, lane_row, lane_row, lane_row, lane_row,
+            ],
+            out_specs=(row_block(0), row_block(0)),
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )
+
+        yzmask_c, jrow_c, zrow_c = map(jnp.asarray, (yz_interior, jrow, zrow))
+        xlo_c, xhi_c = jnp.asarray(xlo), jnp.asarray(xhi)
+
+        def iter_fn(pr_flat, dpr_flat, rhs_flat):
+            return pallas_iter(pr_flat, pr_flat, pr_flat, dpr_flat, rhs_flat,
+                               yzmask_c, jrow_c, zrow_c, xlo_c, xhi_c)
+
+        def pack(pr, dprdtau, rhs3d):
+            z = lambda a: jnp.zeros((nx, W), jdtype).at[:, :nyz].set(
+                a.reshape(nx, nyz).astype(jdtype))
+            return z(pr), z(dprdtau), z(rhs3d)
+
+        def unpack(pr_flat, dpr_flat):
+            return (pr_flat[:, :nyz].reshape(nx, ny, nz),
+                    dpr_flat[:, :nyz].reshape(nx, ny, nz))
+
+    elif mode == "dma":
+        def kernel(pr_pad, dpr, rhs, yzmask, jrow_r, zrow_r, xlo_r, xhi_r,
+                   pr_out, dpr_out,
+                   pr_buf, dpr_buf, rhs_buf, opr_buf, odpr_buf,
+                   load_sems, store_sems):
+
+            def loads(slot, s):
+                return [
+                    pltpu.make_async_copy(
+                        pr_pad.at[pl.ds(s * B, B + 2)], pr_buf.at[slot],
+                        load_sems.at[slot, 0]),
+                    pltpu.make_async_copy(
+                        dpr.at[pl.ds(s * B, B)], dpr_buf.at[slot],
+                        load_sems.at[slot, 1]),
+                    pltpu.make_async_copy(
+                        rhs.at[pl.ds(s * B, B)], rhs_buf.at[slot],
+                        load_sems.at[slot, 2]),
+                ]
+
+            for dma in loads(0, 0):
+                dma.start()
+
+            def body(s, carry):
+                slot = s % 2
+                nxt = (s + 1) % 2
+
+                @pl.when(s + 1 < S)
                 def _():
-                    opr_buf[0, :] = opr_buf[1, :]
+                    for dma in loads(nxt, s + 1):
+                        dma.start()
 
-                @pl.when(last)
-                def _():
-                    opr_buf[B - 1, :] = opr_buf[B - 2, :]
-            q = opr_buf[:]
-            jr = jrow_r[0:1, :]
-            zr = zrow_r[0:1, :]
-            q = jnp.where(jr == 0, pltpu.roll(q, nyz - nz, 1), q)
-            q = jnp.where(jr == ny - 1, pltpu.roll(q, nz, 1), q)
-            q = jnp.where(zr == 0, pltpu.roll(q, nyz - 1, 1), q)
-            q = jnp.where(zr == nz - 1, pltpu.roll(q, 1, 1), q)
-            opr_buf[:] = q
-            if has_xlo:
-                @pl.when(first)
-                def _():
-                    opr_buf[0, :] = xlo_r[0, :]
-            if has_xhi:
-                @pl.when(last)
-                def _():
-                    opr_buf[B - 1, :] = xhi_r[0, :]
+                for dma in loads(slot, s):
+                    dma.wait()
 
-            st1 = pltpu.make_async_copy(opr_buf,
-                                        pr_out.at[pl.ds(s * B + 1, B)],
-                                        store_sems.at[0])
-            st2 = pltpu.make_async_copy(odpr_buf,
-                                        dpr_out.at[pl.ds(s * B, B)],
-                                        store_sems.at[1])
-            st1.start()
-            st2.start()
-            # Single-slot out buffers: wait before the next slab reuses them.
-            st1.wait()
-            st2.wait()
-            return carry
+                q, d_new = compute_slab(
+                    pr_buf[slot], dpr_buf[slot], rhs_buf[slot], yzmask,
+                    jrow_r, zrow_r, xlo_r, xhi_r, s == 0, s == S - 1)
+                opr_buf[:] = q
+                odpr_buf[:] = d_new
+                st1 = pltpu.make_async_copy(
+                    opr_buf, pr_out.at[pl.ds(s * B + 1, B)],
+                    store_sems.at[0])
+                st2 = pltpu.make_async_copy(
+                    odpr_buf, dpr_out.at[pl.ds(s * B, B)], store_sems.at[1])
+                st1.start()
+                st2.start()
+                st1.wait()
+                st2.wait()
+                return carry
 
-        jax.lax.fori_loop(0, S, body, 0)
+            jax.lax.fori_loop(0, S, body, 0)
 
-    jdtype = jnp.dtype(dtype)
-    pallas_iter = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((nx + 2, nyz), jdtype),   # pr_out (padded)
-            jax.ShapeDtypeStruct((nx, nyz), jdtype),       # dpr_out
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # pr_pad
-            pl.BlockSpec(memory_space=pltpu.ANY),          # dpr
-            pl.BlockSpec(memory_space=pltpu.ANY),          # rhs
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # yzmask
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # jrow
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # zrow
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # xlo
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # xhi
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, B + 2, nyz), jdtype),   # pr_buf
-            pltpu.VMEM((2, B, nyz), jdtype),       # dpr_buf
-            pltpu.VMEM((2, B, nyz), jdtype),       # rhs_buf
-            pltpu.VMEM((B, nyz), jdtype),          # opr_buf
-            pltpu.VMEM((B, nyz), jdtype),          # odpr_buf
-            pltpu.SemaphoreType.DMA((2, 3)),       # load sems
-            pltpu.SemaphoreType.DMA((2,)),         # store sems
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2 ** 20),
-        cost_estimate=pl.CostEstimate(
-            flops=14 * nx * nyz,
-            bytes_accessed=int(5.3 * nx * nyz * np.dtype(dtype).itemsize),
-            transcendentals=0),
-        interpret=interpret,
-    )
+        pallas_iter = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((nx + 2, W), jdtype),
+                jax.ShapeDtypeStruct((nx, W), jdtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                       pl.BlockSpec(memory_space=pltpu.ANY)),
+            scratch_shapes=[
+                pltpu.VMEM((2, B + 2, W), jdtype),
+                pltpu.VMEM((2, B, W), jdtype),
+                pltpu.VMEM((2, B, W), jdtype),
+                pltpu.VMEM((B, W), jdtype),
+                pltpu.VMEM((B, W), jdtype),
+                pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )
 
-    yzmask_c = jnp.asarray(yz_interior)
-    jrow_c = jnp.asarray(jrow)
-    zrow_c = jnp.asarray(zrow)
-    xlo_c = jnp.asarray(xlo)
-    xhi_c = jnp.asarray(xhi)
+        yzmask_c, jrow_c, zrow_c = map(jnp.asarray, (yz_interior, jrow, zrow))
+        xlo_c, xhi_c = jnp.asarray(xlo), jnp.asarray(xhi)
 
-    def iter_fn(pr_pad, dpr_flat, rhs_flat):
-        return pallas_iter(pr_pad, dpr_flat, rhs_flat, yzmask_c, jrow_c,
-                           zrow_c, xlo_c, xhi_c)
+        def iter_fn(pr_pad, dpr_flat, rhs_flat):
+            return pallas_iter(pr_pad, dpr_flat, rhs_flat, yzmask_c, jrow_c,
+                               zrow_c, xlo_c, xhi_c)
 
-    def pack(pr, dprdtau, rhs3d):
-        pr_pad = jnp.zeros((nx + 2, nyz), jdtype)
-        pr_pad = pr_pad.at[1:nx + 1].set(pr.reshape(nx, nyz).astype(jdtype))
-        return (pr_pad,
-                dprdtau.reshape(nx, nyz).astype(jdtype),
-                rhs3d.reshape(nx, nyz).astype(jdtype))
+        def pack(pr, dprdtau, rhs3d):
+            pr_pad = jnp.zeros((nx + 2, W), jdtype)
+            pr_pad = pr_pad.at[1:nx + 1, :nyz].set(
+                pr.reshape(nx, nyz).astype(jdtype))
+            z = lambda a: jnp.zeros((nx, W), jdtype).at[:, :nyz].set(
+                a.reshape(nx, nyz).astype(jdtype))
+            return pr_pad, z(dprdtau), z(rhs3d)
 
-    def unpack(pr_pad, dpr_flat):
-        return (pr_pad[1:nx + 1].reshape(nx, ny, nz),
-                dpr_flat.reshape(nx, ny, nz))
+        def unpack(pr_pad, dpr_flat):
+            return (pr_pad[1:nx + 1, :nyz].reshape(nx, ny, nz),
+                    dpr_flat[:, :nyz].reshape(nx, ny, nz))
 
-    iter_fn.slab = B  # introspection for tests/benchmarks
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    iter_fn.slab = B
+    iter_fn.mode = mode
     return iter_fn, pack, unpack

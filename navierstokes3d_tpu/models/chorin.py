@@ -26,6 +26,7 @@ Loop equivalence with the reference's `for iter=1:niter ... break`:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -91,10 +92,11 @@ class ChorinSolver:
             bc = PoissonBCSpec(zero_grad_x=False,
                                xlo_plane=(prof2d + 100.0).ravel(),
                                xhi_plane=prof2d.ravel())
+        mode = os.environ.get("NS3D_PALLAS_MODE", "blocked")
         self._pallas = build_poisson_iter(
             grid.nx, grid.ny, grid.nz, grid.dx, grid.dy, grid.dz,
             grid.dtau, grid.damp, bc, dtype=self.dtype,
-            interpret=interpret)
+            interpret=interpret, mode=mode)
 
     def step_sharded_jit(self, mesh):
         """Jitted step over a 3D device mesh (global-view SPMD path).

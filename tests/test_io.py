@@ -92,3 +92,28 @@ def test_cli_end_to_end(tmp_path):
                         cwd=os.path.dirname(os.path.dirname(__file__)))
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "resumed" in r2.stderr or r2.returncode == 0
+
+
+def test_native_io_roundtrip(tmp_path):
+    """C++ runtime (csrc/ns3dio.cpp): format parity with the NumPy path,
+    sync + async, and read-back."""
+    from navierstokes3d_tpu.io import native
+    if native.lib() is None:
+        pytest.skip("native toolchain unavailable")
+    a = np.random.default_rng(1).random((7, 5, 3)).astype(np.float32)
+    p_native = str(tmp_path / "n")
+    p_numpy = str(tmp_path / "p")
+    assert native.write_f32(p_native + ".bin", a)
+    np.asarray(a, dtype=np.float32).flatten(order="F").tofile(p_numpy + ".bin")
+    with open(p_native + ".bin", "rb") as f1, open(p_numpy + ".bin", "rb") as f2:
+        assert f1.read() == f2.read(), "byte-identical to reference layout"
+    back = native.read_f32(p_native + ".bin", a.shape)
+    np.testing.assert_array_equal(back, a)
+    # async path: queue several, drain, verify
+    for i in range(5):
+        assert native.write_f32(str(tmp_path / f"a{i}.bin"), a + i,
+                                asynchronous=True)
+    native.drain()
+    for i in range(5):
+        back = native.read_f32(str(tmp_path / f"a{i}.bin"), a.shape)
+        np.testing.assert_array_equal(back, a + np.float32(i))

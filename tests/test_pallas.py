@@ -34,7 +34,7 @@ def _setup(variant, nx=12):
     return cfg, solver, g, pr, dpr, divv
 
 
-def _pallas_fn(cfg, g, slab=None):
+def _pallas_fn(cfg, g, slab=None, mode="blocked"):
     phys = cfg.physics
     nyz = g.ny * g.nz
     if cfg.variant == "multi":
@@ -46,19 +46,20 @@ def _pallas_fn(cfg, g, slab=None):
         bc = PoissonBCSpec(False, (prof2d + 100.0).ravel(), prof2d.ravel())
     return build_poisson_iter(g.nx, g.ny, g.nz, g.dx, g.dy, g.dz,
                               g.dtau, g.damp, bc, dtype=jnp.float32,
-                              slab=slab, interpret=True)
+                              slab=slab, interpret=True, mode=mode)
 
 
 @pytest.mark.parametrize("variant", ["multi", "gpu"])
 @pytest.mark.parametrize("slab", [None, 4, 3])
-def test_single_iteration_matches_jnp(variant, slab):
+@pytest.mark.parametrize("mode", ["blocked", "dma"])
+def test_single_iteration_matches_jnp(variant, slab, mode):
     cfg, solver, g, pr, dpr, divv = _setup(variant)
     rho, dt = cfg.physics.rho, g.dt
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     pr1, dpr1 = ph.poisson_iter(f32(pr), f32(dpr), f32(divv), rho, dt,
                                 g.dtau, g.damp, g.dx, g.dy, g.dz)
     pr1 = solver.set_bc_pr(pr1)
-    iter_fn, pack, unpack = _pallas_fn(cfg, g, slab)
+    iter_fn, pack, unpack = _pallas_fn(cfg, g, slab, mode)
     pp, df, rf = pack(f32(pr), f32(dpr), (rho / dt) * f32(divv))
     pr2, dpr2 = unpack(*iter_fn(pp, df, rf))
     scale = max(1.0, np.abs(np.asarray(pr1)).max())
@@ -92,7 +93,7 @@ def test_chained_iterations_track_f64_oracle():
                                    g.dx, g.dy, g.dz)
         p32 = solver.set_bc_pr(p32)
 
-    iter_fn, pack, unpack = _pallas_fn(cfg, g, slab=4)
+    iter_fn, pack, unpack = _pallas_fn(cfg, g, slab=4, mode="dma")
     pp, df, rf = pack(jnp.asarray(pr, jnp.float32),
                       jnp.asarray(dpr, jnp.float32), (rho / dt) * dv32)
     for _ in range(10):
