@@ -15,11 +15,32 @@ amortized. Diagnostics go to stderr.
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".cache", "jax"))
+
+
+def _device_healthy(timeout_s: int = 90) -> bool:
+    """Probe the accelerator in a subprocess: a wedged TPU runtime hangs
+    forever on the first op, which must not take the benchmark down."""
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((8,128))*2).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+if not _device_healthy() and os.environ.get("NS3D_BENCH_CPU_FALLBACK", "1") == "1":
+    print("accelerator unhealthy; falling back to CPU (metric labeled)",
+          file=sys.stderr)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
@@ -86,8 +107,11 @@ def main():
         f"roofline={roofline_iters:.0f} iters/s "
         f"({100*iters_per_sec/roofline_iters:.1f}% of speed-of-light)")
 
+    backend = jax.default_backend()
+    suffix = "" if backend not in ("cpu", "gpu") else f"_{backend}_fallback"
     print(json.dumps({
-        "metric": f"poisson_iters_per_sec_{g.nx}x{g.ny}x{g.nz}_{args.dtype}",
+        "metric": (f"poisson_iters_per_sec_{g.nx}x{g.ny}x{g.nz}_"
+                   f"{args.dtype}{suffix}"),
         "value": round(iters_per_sec, 1),
         "unit": "iter/s",
         "vs_baseline": round(iters_per_sec / roofline_iters, 4),

@@ -71,9 +71,9 @@ def test_checkpoint_resume_bitexact(tmp_path):
 
 def test_cli_end_to_end(tmp_path):
     """Drive the CLI: short run with save+vis+checkpoint, then resume."""
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
     base = [sys.executable, "-m", "navierstokes3d_tpu.run",
             "--preset", "multi", "--nx", "9", "--dtype", "float32",
+            "--platform", "cpu",  # the axon plugin ignores JAX_PLATFORMS
             "--out-dir", str(tmp_path / "out"),
             "--viz-dir", str(tmp_path / "viz"),
             "--ckpt-dir", str(tmp_path / "ck"), "--quiet"]
