@@ -281,7 +281,8 @@ class ChorinSolver:
         from ..parallel.mesh import replicated, state_shardings
         solve = build_poisson_shard_map(
             mesh, self.grid, self.cfg.physics, self.cfg.numerics.eps_it,
-            self.cfg.variant, self.dtype)
+            self.cfg.variant, self.dtype,
+            halo_width=self.cfg.parallel.halo)
         rho, dt = self.cfg.physics.rho, self.grid.dt
 
         def poisson(pr, dprdtau, divv):

@@ -42,20 +42,24 @@ def _shift(x, axis_name: str, direction: int):
     return lax.ppermute(x, axis_name, perm)
 
 
-def halo_pad(block, axis_names=AXES):
-    """Pad a local block by 1 cell per side per sharded axis with neighbor
-    face planes (zeros at open global boundaries).
+def halo_pad(block, axis_names=AXES, width: int = 1):
+    """Pad a local block by `width` cells per side per sharded axis with
+    neighbor face slabs (zeros at open global boundaries).
 
     The reference exchanges whole halos after every kernel
     (update_halo!, multi_gpu.jl:450-477); here the exchange is fused into
-    the consuming stencil's padding. 6 ppermutes of one face plane each.
+    the consuming stencil's padding. 6 ppermutes of `width`-deep faces —
+    width>1 enables batching several Poisson iterations per exchange
+    (the generalization of the reference's declared-but-unused b_width,
+    multi_gpu.jl:326).
     """
     out = block
     for dim, ax in enumerate(axis_names):
-        lo_face = lax.index_in_dim(out, 0, dim, keepdims=True)
-        hi_face = lax.index_in_dim(out, out.shape[dim] - 1, dim, keepdims=True)
-        from_left = _shift(hi_face, ax, +1)   # left neighbor's last plane
-        from_right = _shift(lo_face, ax, -1)  # right neighbor's first plane
+        n = out.shape[dim]
+        lo_face = lax.slice_in_dim(out, 0, width, axis=dim)
+        hi_face = lax.slice_in_dim(out, n - width, n, axis=dim)
+        from_left = _shift(hi_face, ax, +1)   # left neighbor's last planes
+        from_right = _shift(lo_face, ax, -1)  # right neighbor's first planes
         out = jnp.concatenate([from_left, out, from_right], axis=dim)
     return out
 
@@ -94,12 +98,45 @@ def _bc_pr_local(pr, variant: str, xlo_plane, xhi_plane):
     return pr
 
 
+def _bc_pr_local_padded(pr, variant: str, xlo_plane, xhi_plane, m: int):
+    """_bc_pr_local generalized to m-deep halo-padded blocks: global
+    boundary planes sit at padded index m / -(1+m) on edge devices (a
+    halo never contains a foreign BC plane for m <= block-1)."""
+    (ix, iy, iz), (npx, npy, npz) = _device_pos()
+    lo, hi = m, -1 - m
+    if variant == "multi":
+        pr = jnp.where(ix == 0, pr.at[lo].set(pr[lo + 1]), pr)
+        pr = jnp.where(ix == npx - 1, pr.at[hi].set(pr[hi - 1]), pr)
+        pr = jnp.where(iy == 0, pr.at[:, lo].set(pr[:, lo + 1]), pr)
+        pr = jnp.where(iy == npy - 1, pr.at[:, hi].set(pr[:, hi - 1]), pr)
+        pr = jnp.where(iz == 0, pr.at[:, :, lo].set(pr[:, :, lo + 1]), pr)
+        pr = jnp.where(iz == npz - 1, pr.at[:, :, hi].set(pr[:, :, hi - 1]), pr)
+        pr = jnp.where(ix == npx - 1, pr.at[hi].set(0.0), pr)
+    else:
+        pr = jnp.where(iy == 0, pr.at[:, lo].set(pr[:, lo + 1]), pr)
+        pr = jnp.where(iy == npy - 1, pr.at[:, hi].set(pr[:, hi - 1]), pr)
+        pr = jnp.where(iz == 0, pr.at[:, :, lo].set(pr[:, :, lo + 1]), pr)
+        pr = jnp.where(iz == npz - 1, pr.at[:, :, hi].set(pr[:, :, hi - 1]), pr)
+        pr = jnp.where(ix == 0, pr.at[lo].set(xlo_plane), pr)
+        pr = jnp.where(ix == npx - 1, pr.at[hi].set(xhi_plane), pr)
+    return pr
+
+
 def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
-                            variant: str, dtype):
+                            variant: str, dtype, halo_width: int = 1):
     """Distributed pseudo-transient Poisson solve: the ENTIRE chunked
     while_loop runs inside one shard_map — per iteration: 6 face
     ppermutes (Pr halo) + local fused stencil + position-guarded BCs;
     per residual check: one more halo + lax.pmax over the mesh.
+
+    halo_width k > 1 batches k iterations per exchange: Pr, dPrdτ and the
+    RHS are exchanged with k-deep halos and k iterations run locally, the
+    halo validity shrinking one cell per iteration (overlapping
+    temporal blocking — the generalization of the reference's unused
+    b_width comm/compute-overlap, multi_gpu.jl:326). Owned cells follow
+    the same arithmetic as k=1 (identical up to compiler FMA scheduling);
+    the cost is (k-1) redundant halo-cell updates per side, the win is
+    1/k as many messages.
 
     Returns solve(pr, dprdtau, rhs3d) -> (pr, dprdtau, iters, err, hist)
     operating on globally-sharded arrays.
@@ -117,6 +154,11 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
     bx, by, bz = nx // npx, ny // npy, nz // npz
     if min(bx, by, bz) < 2:
         raise ValueError("local blocks must be >= 2 cells per axis")
+    k = int(halo_width)
+    if k < 1 or (k > 1 and k > min(bx, by, bz) - 1):
+        raise ValueError(
+            f"halo_width {k} must be in [1, min(block)-1={min(bx,by,bz)-1}] "
+            "(a wider halo would contain foreign BC planes)")
 
     # gpu-variant hydrostatic x planes, as local (by,bz) tiles per device:
     # value depends only on global z (gpu.jl:257-261).
@@ -127,12 +169,13 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
     else:
         prof_full = np.zeros((ny, nz), dtype)
 
-    def local_interior_mask(sh):
-        """1.0 on global-interior cells of the local block."""
+    def local_interior_mask(sh, off=0):
+        """True on global-interior cells of the local block; `off` is the
+        halo padding depth when sh is a padded block shape."""
         (ix, iy, iz), (Px, Py, Pz) = _device_pos()
-        gx = ix * bx + lax.broadcasted_iota(jnp.int32, sh, 0)
-        gy = iy * by + lax.broadcasted_iota(jnp.int32, sh, 1)
-        gz = iz * bz + lax.broadcasted_iota(jnp.int32, sh, 2)
+        gx = ix * bx - off + lax.broadcasted_iota(jnp.int32, sh, 0)
+        gy = iy * by - off + lax.broadcasted_iota(jnp.int32, sh, 1)
+        gz = iz * bz - off + lax.broadcasted_iota(jnp.int32, sh, 2)
         m = ((gx >= 1) & (gx <= nx - 2) & (gy >= 1) & (gy <= ny - 2)
              & (gz >= 1) & (gz <= nz - 2))
         return m
@@ -152,17 +195,50 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
         pr = _bc_pr_local(pr, variant, xlo, xhi)
         return pr, dpr
 
+    def run_batch(pr, dpr, rhs, m, prof_pad):
+        """m iterations on m-deep halo-padded blocks: one exchange of
+        Pr/dPrdτ/rhs, then m local width-1 sweeps whose halo validity
+        shrinks inward one cell per sweep (owned cells stay exact)."""
+        (_, iyd, izd), _ = _device_pos()
+        # padded-extent hydrostatic tiles (values at domain-edge pads are
+        # never consumed)
+        xplane = lax.dynamic_slice(
+            prof_pad, (iyd * by + (k - m), izd * bz + (k - m)),
+            (by + 2 * m, bz + 2 * m))
+        xlo_p = xplane + jnp.asarray(100.0, pr.dtype)
+        xhi_p = xplane
+        prp = halo_pad(pr, width=m)
+        dpp = halo_pad(dpr, width=m)
+        rhp = halo_pad(rhs, width=m)
+        maskp = local_interior_mask(prp.shape, off=m)[1:-1, 1:-1, 1:-1]
+        for _ in range(m):
+            resid = lap_of(prp) - rhp[1:-1, 1:-1, 1:-1]
+            inner = jnp.where(
+                maskp,
+                dpp[1:-1, 1:-1, 1:-1] * (1.0 - damp) + dtau * resid,
+                jnp.zeros_like(resid))
+            dpp = dpp.at[1:-1, 1:-1, 1:-1].set(inner)
+            prp = prp + dtau * dpp
+            prp = _bc_pr_local_padded(prp, variant, xlo_p, xhi_p, m)
+        sl = slice(m, -m)
+        return prp[sl, sl, sl], dpp[sl, sl, sl]
+
     def residual_local(pr, rhs, mask):
         pad = halo_pad(pr)
         rp = lap_of(pad) - rhs
         local_max = jnp.max(jnp.where(mask, jnp.abs(rp), 0.0))
         return lax.pmax(lax.pmax(lax.pmax(local_max, "x"), "y"), "z")
 
+    # kmax-padded global hydrostatic profile (edge-replicated; edge pads
+    # are never consumed)
+    prof_padded = np.pad(prof_full, k, mode="edge") if k > 1 else prof_full
+
     def solve_local(pr, dpr, rhs):
         mask = local_interior_mask(pr.shape)
         (ixd, iyd, izd), _ = _device_pos()
         # local tile of the hydrostatic profile for this device
         profj = jnp.asarray(prof_full)
+        prof_pad = jnp.asarray(prof_padded)
         ys = iyd * by
         zs = izd * bz
         xplane = lax.dynamic_slice(profj, (ys, zs), (by, bz))
@@ -170,30 +246,39 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
         xhi = xplane
 
         def run_iters(pr, dpr, n):
-            return lax.fori_loop(
-                0, n,
-                lambda _, c: loop_body_local(*c, rhs, mask, xlo, xhi),
+            if k == 1:
+                return lax.fori_loop(
+                    0, n,
+                    lambda _, c: loop_body_local(*c, rhs, mask, xlo, xhi),
+                    (pr, dpr))
+            nb, rem_b = n // k, n % k
+            pr, dpr = lax.fori_loop(
+                0, nb,
+                lambda _, c: run_batch(*c, rhs, k, prof_pad),
                 (pr, dpr))
+            if rem_b:
+                pr, dpr = run_batch(pr, dpr, rhs, rem_b, prof_pad)
+            return pr, dpr
 
         big = jnp.asarray(1e30, dtype)
 
         def cond(st):
-            _, _, k, err, _ = st
-            return (k < nchunks) & (err >= eps_it) & jnp.isfinite(err)
+            _, _, kc, err, _ = st
+            return (kc < nchunks) & (err >= eps_it) & jnp.isfinite(err)
 
         def body(st):
-            pr, dpr, k, err, hist = st
+            pr, dpr, kc, err, hist = st
             pr, dpr = run_iters(pr, dpr, nchk)
             err = residual_local(pr, rhs, mask) * err_scale
-            hist = hist.at[k].set(err)
-            return (pr, dpr, k + 1, err, hist)
+            hist = hist.at[kc].set(err)
+            return (pr, dpr, kc + 1, err, hist)
 
         hist0 = jnp.full((max(nchunks, 1),), jnp.nan, dtype)
-        pr, dpr, k, err, hist = lax.while_loop(
+        pr, dpr, kc, err, hist = lax.while_loop(
             cond, body, (pr, dpr, jnp.int32(0), big, hist0))
-        iters = k * nchk
+        iters = kc * nchk
         if rem > 0:
-            do_tail = (k >= nchunks) & (err >= eps_it) & jnp.isfinite(err)
+            do_tail = (kc >= nchunks) & (err >= eps_it) & jnp.isfinite(err)
             pr, dpr = lax.cond(do_tail,
                                lambda a: run_iters(*a, rem),
                                lambda a: a, (pr, dpr))

@@ -108,3 +108,30 @@ def test_shard_map_poisson_equals_single(variant):
         scale = max(1.0, np.abs(a).max())
         np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=1e-12,
                                    err_msg=name)
+
+
+@pytest.mark.parametrize("halo_width", [2, 3])
+def test_halo_width_batching_matches_width1(halo_width):
+    """k Poisson iterations per k-deep halo exchange (temporal blocking,
+    the b_width generalization) must match the width-1 schedule on owned
+    cells up to compiler FMA noise."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from navierstokes3d_tpu.config import ParallelConfig
+    cfg0 = ns.preset_multi(nx=16, nt=1, compat=False)
+    cfg0 = cfg0.replace(numerics=dataclasses.replace(
+        cfg0.numerics, niter_scale=1))
+    mesh = make_mesh(devices=jax.devices()[:8])
+    results = {}
+    for hw in (1, halo_width):
+        solver = ns.ChorinSolver(cfg0.replace(parallel=ParallelConfig(halo=hw)))
+        st = shard_state(_random_state(solver), mesh)
+        stt, stats = solver.step_shard_map_jit(mesh)(st)
+        results[hw] = (stt, int(stats.iters))
+    assert results[1][1] == results[halo_width][1]
+    for name in ("pr", "vx", "vy", "vz", "dprdtau"):
+        a = np.asarray(getattr(results[1][0], name))
+        b = np.asarray(getattr(results[halo_width][0], name))
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=1e-9,
+                                   err_msg=name)
