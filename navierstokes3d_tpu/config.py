@@ -102,12 +102,20 @@ class NumericsConfig:
     cfl_adv: float = 1.0                    # advection CFL
     nt: int = 10
     dtype: str = "float64"          # reference runs Float64 throughout
+    # Explicit overrides for ny/nz (e.g. weak-scaling grids); None derives
+    # them from the aspect ratio as the reference does.
+    ny_override: Optional[int] = None
+    nz_override: Optional[int] = None
 
     # Derived sizes follow ceil(nx * aspect) (NavierStokes3D_gpu.jl:45-46).
     def ny(self, phys: PhysicsConfig) -> int:
+        if self.ny_override is not None:
+            return self.ny_override
         return math.ceil(self.nx * phys.ly_lx)
 
     def nz(self, phys: PhysicsConfig) -> int:
+        if self.nz_override is not None:
+            return self.nz_override
         return math.ceil(self.nx * phys.lz_lx)
 
     @property
