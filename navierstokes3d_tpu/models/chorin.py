@@ -162,7 +162,123 @@ class ChorinSolver:
     def poisson_solve(self, pr, dprdtau, divv):
         if self._pallas is not None:
             return self._poisson_solve_pallas(pr, dprdtau, divv)
+        if not self.cfg.compat:
+            return self._poisson_solve_jnp_folded(pr, dprdtau, divv)
         return self._poisson_solve_jnp(pr, dprdtau, divv)
+
+    def _poisson_solve_jnp_folded(self, pr, dprdtau, divv):
+        """Poisson solve with the boundary conditions folded into the
+        stencil: zero-gradient faces become dropped neighbor terms
+        (coefficient masks), Dirichlet faces are loop-invariant planes,
+        and the RHS is hoisted — so one iteration is two fused elementwise
+        passes with NO per-iteration boundary-plane updates.
+
+        Equivalence with the reference's update-then-BC sequence: after
+        bc, lap at a cell adjacent to a zero-gradient face reads a copy of
+        its own updated neighbor, i.e. that difference term vanishes;
+        Dirichlet planes are invariant under the interior-only update.
+        The first iteration reads the incoming (possibly BC-inconsistent)
+        boundary planes exactly like the reference, so it runs in exact
+        form before the Dirichlet planes are frozen.
+        """
+        grid, phys, num = self.grid, self.cfg.physics, self.cfg.numerics
+        rho, dt, dtau, damp = phys.rho, grid.dt, grid.dtau, grid.damp
+        dx, dy, dz = grid.dx, grid.dy, grid.dz
+        eps_it = num.eps_it
+        nchunks = grid.niter // grid.nchk
+        rem = grid.niter - nchunks * grid.nchk
+        nx, ny, nz = grid.nx, grid.ny, grid.nz
+        dtype = self.dtype
+
+        # interior coefficient masks (1D, broadcast): a neighbor-term mask
+        # is 0 where that neighbor is a zero-gradient copy of the center.
+        def masks_1d(n, lo_zero_grad, hi_zero_grad):
+            am = np.ones(n - 2, dtype)
+            ap = np.ones(n - 2, dtype)
+            if lo_zero_grad:
+                am[0] = 0.0
+            if hi_zero_grad:
+                ap[-1] = 0.0
+            return jnp.asarray(am), jnp.asarray(ap)
+
+        if self.cfg.variant == "multi":
+            # bc_x zero-grad lo; hi ends Dirichlet 0 (outlet overwrite)
+            axm, axp = masks_1d(nx, True, False)
+            aym, ayp = masks_1d(ny, True, True)
+            azm, azp = masks_1d(nz, True, True)
+        else:  # gpu: x Dirichlet both (hydrostatic), y/z zero-grad
+            axm, axp = masks_1d(nx, False, False)
+            aym, ayp = masks_1d(ny, True, True)
+            azm, azp = masks_1d(nz, True, True)
+        axm = axm[:, None, None]; axp = axp[:, None, None]
+        aym = aym[None, :, None]; ayp = ayp[None, :, None]
+        azm = azm[None, None, :]; azp = azp[None, None, :]
+
+        rhs = ((rho / dt) * divv[1:-1, 1:-1, 1:-1]).astype(dtype)
+
+        def lap_folded(pr):
+            pc = pr[1:-1, 1:-1, 1:-1]
+            return ((axp * (pr[2:, 1:-1, 1:-1] - pc)
+                     + axm * (pr[:-2, 1:-1, 1:-1] - pc)) / dx / dx
+                    + (ayp * (pr[1:-1, 2:, 1:-1] - pc)
+                       + aym * (pr[1:-1, :-2, 1:-1] - pc)) / dy / dy
+                    + (azp * (pr[1:-1, 1:-1, 2:] - pc)
+                       + azm * (pr[1:-1, 1:-1, :-2] - pc)) / dz / dz)
+
+        def folded_iter(_, carry):
+            pr, dpr = carry
+            resid = lap_folded(pr) - rhs
+            dpr = dpr.at[1:-1, 1:-1, 1:-1].set(
+                dpr[1:-1, 1:-1, 1:-1] * (1.0 - damp) + dtau * resid)
+            pr = pr + dtau * dpr
+            return (pr, dpr)
+
+        def run_folded(pr, dpr, n):
+            return lax.fori_loop(0, n, folded_iter, (pr, dpr))
+
+        def residual_err(pr):
+            rp = lap_folded(pr) - rhs
+            return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
+
+        # iteration 1 in exact form (reads incoming boundary planes),
+        # then freeze the Dirichlet planes via set_bc_pr.
+        pr, dprdtau = ph.poisson_iter(pr, dprdtau, divv, rho, dt, dtau,
+                                      damp, dx, dy, dz)
+        pr = self.set_bc_pr(pr)
+
+        big = jnp.asarray(1e30, dtype=dtype)
+
+        def cond(stv):
+            _, _, k, err, _ = stv
+            return (k < nchunks) & (err >= eps_it) & jnp.isfinite(err)
+
+        def body(stv):
+            pr, dpr, k, err, hist = stv
+            # chunk 0 already ran its first iteration in exact form
+            pr, dpr = lax.cond(
+                k == 0,
+                lambda c: run_folded(*c, grid.nchk - 1),
+                lambda c: run_folded(*c, grid.nchk),
+                (pr, dpr))
+            err = residual_err(pr)
+            hist = hist.at[k].set(err)
+            return (pr, dpr, k + 1, err, hist)
+
+        hist0 = jnp.full((max(nchunks, 1),), jnp.nan, dtype=dtype)
+        pr, dprdtau, k, err, hist = lax.while_loop(
+            cond, body, (pr, dprdtau, jnp.int32(0), big, hist0))
+        iters = k * grid.nchk
+        if rem > 0:
+            do_tail = (k >= nchunks) & (err >= eps_it) & jnp.isfinite(err)
+            pr, dprdtau = lax.cond(
+                do_tail,
+                lambda c: run_folded(*c, rem),
+                lambda c: c,
+                (pr, dprdtau))
+            iters = iters + jnp.where(do_tail, rem, 0)
+        # materialize the zero-gradient boundary planes of the final state
+        pr = self.set_bc_pr(pr)
+        return pr, dprdtau, StepStats(iters=iters, err=err, err_hist=hist)
 
     def _poisson_solve_pallas(self, pr, dprdtau, divv):
         """Hot loop backed by the fused Pallas kernel (kernels/poisson.py):
