@@ -7,6 +7,7 @@ pressure-Poisson iteration, semi-Lagrangian advection, immersed cylinder,
 spatial domain decomposition over a 3D TPU device mesh.
 """
 
+from .compat_api import run_navierstokes3d, runme
 from .config import (IOConfig, NumericsConfig, ParallelConfig, PhysicsConfig,
                      SimConfig, preset_gpu, preset_multi)
 from .grid import Grid, make_grid
@@ -19,5 +20,5 @@ __all__ = [
     "SimConfig", "PhysicsConfig", "NumericsConfig", "IOConfig",
     "ParallelConfig", "preset_gpu", "preset_multi",
     "Grid", "make_grid", "ChorinSolver", "gather_inner",
-    "FlowState", "StepStats",
+    "FlowState", "StepStats", "run_navierstokes3d", "runme",
 ]

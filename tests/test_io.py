@@ -117,3 +117,16 @@ def test_native_io_roundtrip(tmp_path):
     for i in range(5):
         back = native.read_f32(str(tmp_path / f"a{i}.bin"), a.shape)
         np.testing.assert_array_equal(back, a + np.float32(i))
+
+
+def test_compat_api_run_navierstokes3d(tmp_path):
+    """Drop-in reference entry function: signature, side effects, returns."""
+    from navierstokes3d_tpu.compat_api import run_navierstokes3d
+    c, pr, vx, vy, vz = run_navierstokes3d(
+        do_vis=False, do_save=True, do_print=False, nx=10, nt=1,
+        out_dir=str(tmp_path / "out"))
+    # gathered inner shapes as the reference returns (multi_gpu.jl:386-390)
+    assert c.shape == (8, 4, 4)
+    assert vx.shape == (9, 4, 4)
+    assert (tmp_path / "out" / "out_Pr_v_0000.bin").exists()
+    assert not np.isnan(pr).any()
