@@ -132,6 +132,23 @@ def main(argv=None):
 
     timeit("masked", run_masked, pr0, dpr0)
 
+    # the real solver's poisson_solve (chunked while_loop + residual checks)
+    @jax.jit
+    def run_solver(pr, dpr, divv):
+        return s.poisson_solve(pr, dpr, divv)
+
+    out = run_solver(pr0, dpr0, divv0)
+    jax.block_until_ready(out[0])
+    n_iters = int(out[2].iters)
+    if n_iters:
+        t0 = time.time()
+        out = run_solver(pr0, dpr0, divv0)
+        _ = float(out[0].ravel()[0])
+        dt_ms = (time.time() - t0) / n_iters * 1e3
+        print(f"{'solver':8s}: {dt_ms:7.3f} ms/iter  ({1e3/dt_ms:7.0f} it/s)  "
+              f"{100*roof_ms/dt_ms:5.1f}% of roofline  "
+              f"[{n_iters} iters incl. checks]")
+
     if args.pallas:
         from navierstokes3d_tpu.kernels.poisson import (PoissonBCSpec,
                                                         build_poisson_iter)
