@@ -25,7 +25,6 @@ Loop equivalence with the reference's `for iter=1:niter ... break`:
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Tuple
 

@@ -16,9 +16,6 @@ which only ever feed masked ring cells.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -76,10 +73,6 @@ def _bc_pr_local(pr, variant: str, xlo_plane, xhi_plane):
     (multi_gpu.jl:175-184). Requires local block >= 2 cells per sharded
     axis (copy source planes are then always owned)."""
     (ix, iy, iz), (npx, npy, npz) = _device_pos()
-
-    def plane_set(a, dim, where_lo, src):
-        return a
-
     if variant == "multi":
         pr = jnp.where(ix == 0, pr.at[0].set(pr[1]), pr)
         pr = jnp.where(ix == npx - 1, pr.at[-1].set(pr[-2]), pr)
