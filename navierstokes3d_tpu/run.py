@@ -46,6 +46,12 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="force a jax platform (e.g. cpu). Needed because "
                          "the axon TPU plugin ignores JAX_PLATFORMS; the "
                          "config API wins.")
+    ap.add_argument("--distributed", action="store_true",
+                    help="call jax.distributed.initialize() for multi-host "
+                         "pod slices (every host runs this same command)")
+    ap.add_argument("--log-jsonl", default=None,
+                    help="append one JSON record per step (it, iters, err, "
+                         "wall) to this file")
     ap.add_argument("--quiet", action="store_true")
     return ap
 
@@ -57,6 +63,8 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.x64 or args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+    if args.distributed:
+        jax.distributed.initialize()
 
     import navierstokes3d_tpu as ns
     from navierstokes3d_tpu.io import (binio, checkpoint, matio, viz)
@@ -120,6 +128,11 @@ def main(argv=None):
         state, stats = step(state)
         jax.block_until_ready(state.pr)
         rec = timer.stop(it, int(stats.iters), float(stats.err))
+        if args.log_jsonl:
+            with open(args.log_jsonl, "a") as f:
+                f.write(json.dumps(dict(it=it, iters=rec.poisson_iters,
+                                        err=rec.err,
+                                        wall_s=round(rec.wall_s, 4))) + "\n")
         if not args.quiet:
             print(f"#it = {it}  iters = {rec.poisson_iters}  "
                   f"err = {rec.err:.3e}  wall = {rec.wall_s:.3f}s",

@@ -130,3 +130,25 @@ def test_compat_api_run_navierstokes3d(tmp_path):
     assert vx.shape == (9, 4, 4)
     assert (tmp_path / "out" / "out_Pr_v_0000.bin").exists()
     assert not np.isnan(pr).any()
+
+
+def test_compat_api_runme(tmp_path):
+    """Drop-in gpu-script entry function: .mat snapshots + return state."""
+    from navierstokes3d_tpu.compat_api import runme
+    state = runme(do_vis=False, do_save=True, nx=10, nt=1,
+                  out_dir=str(tmp_path / "out"))
+    assert (tmp_path / "out" / "step_0.mat").exists()
+    assert not np.isnan(np.asarray(state.pr)).any()
+
+
+def test_cli_jsonl_log(tmp_path):
+    r = subprocess.run(
+        [sys.executable, "-m", "navierstokes3d_tpu.run", "--nx", "9",
+         "--nt", "2", "--dtype", "float32", "--platform", "cpu", "--quiet",
+         "--log-jsonl", str(tmp_path / "steps.jsonl")],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json as _json
+    lines = [_json.loads(l) for l in open(tmp_path / "steps.jsonl")]
+    assert len(lines) == 2 and lines[0]["it"] == 1 and "err" in lines[0]
