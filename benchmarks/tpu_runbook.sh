@@ -47,10 +47,10 @@ import jax, jax.numpy as jnp
 print('health2:', float((jnp.ones((8,128))*2).sum()))" >>"$LOG" 2>&1 || { say "device wedged by pallas tiny run"; exit 3; }
 
 say "stage 4: pallas blocked at 255 in the variants bench"
-python benchmarks/poisson_variants.py --nx 255 --iters 300 --pallas >>"$LOG" 2>&1
+NS3D_PALLAS=1 python benchmarks/poisson_variants.py --nx 255 --iters 300 --pallas >>"$LOG" 2>&1
 
-say "stage 5: full bench.py"
-python bench.py --steps 2 >>"$LOG" 2>&1
+say "stage 5: full bench.py with pallas"
+NS3D_PALLAS=1 python bench.py --steps 2 >>"$LOG" 2>&1
 
 say "done"
 tail -30 "$LOG"
