@@ -49,6 +49,11 @@ print('health2:', float((jnp.ones((8,128))*2).sum()))" >>"$LOG" 2>&1 || { say "d
 say "stage 4: pallas blocked at 255 in the variants bench"
 NS3D_PALLAS=1 python benchmarks/poisson_variants.py --nx 255 --iters 300 --pallas >>"$LOG" 2>&1
 
+say "stage 4b: post-pallas-255 health"
+timeout 90 python -c "
+import jax, jax.numpy as jnp
+print('health3:', float((jnp.ones((8,128))*2).sum()))" >>"$LOG" 2>&1 || { say "device wedged by pallas 255 run"; exit 4; }
+
 say "stage 5: full bench.py with pallas"
 NS3D_PALLAS=1 python bench.py --steps 2 >>"$LOG" 2>&1
 
