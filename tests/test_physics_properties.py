@@ -103,3 +103,21 @@ def test_nan_guard_breaks_poisson_loop():
                                        jnp.zeros(g.shape_c), divv)
     assert int(stats.iters) == g.nchk  # stopped at the first check
     assert not np.isfinite(float(stats.err))
+
+
+def test_long_run_stability_multi():
+    """100 steps of the multi preset stay bounded: velocities below ~2 vin,
+    finite pressure, tracer within [0, 1+eps] (long-horizon regression the
+    reference never had)."""
+    cfg = ns.preset_multi(nx=30, nt=100, compat=False, dtype="float32")
+    solver = ns.ChorinSolver(cfg)
+    state = solver.init_state()
+    for _ in range(100):
+        state, stats = solver.step_jit(state)
+    vmax = max(float(jnp.abs(getattr(state, f)).max())
+               for f in ("vx", "vy", "vz"))
+    assert np.isfinite(float(stats.err))
+    assert vmax < 3.0, vmax
+    c = np.asarray(state.c)
+    assert np.isfinite(c).all()
+    assert c.min() > -0.25 and c.max() < 1.25  # interpolation over/undershoot only
