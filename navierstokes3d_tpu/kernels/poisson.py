@@ -27,6 +27,7 @@ the neighbor's old value).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -109,10 +110,11 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
     has_xlo = bc.xlo_plane is not None
     has_xhi = bc.xhi_plane is not None
 
-    def compute_slab(p_ext, d, r, yzmask, jrow_r, zrow_r, xlo_r, xhi_r,
-                     first, last):
+    def compute_slab(p_ext, d, r, gx, yzmask, jrow_r, zrow_r, xlo_r, xhi_r):
         """Shared slab math: p_ext (B+2,W) old-Pr with x halo planes,
-        d/r (B,W). Returns (new_pr (B,W), new_dpr (B,W))."""
+        d/r (B,W), gx (B,1) global x-row indices of the slab (ghost rows
+        beyond nx-1 on a padded grid stay identically zero).
+        Returns (new_pr (B,W), new_dpr (B,W))."""
         pc = p_ext[1:B + 1, :]
         lap = (p_ext[2:B + 2, :] - 2.0 * pc + p_ext[0:B, :]) * inv_dx2
         # pltpu.roll needs non-negative shifts: -k == W - k (cyclic)
@@ -121,19 +123,15 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         lap += (pltpu.roll(pc, W - 1, 1) - 2.0 * pc
                 + pltpu.roll(pc, 1, 1)) * inv_dz2
         d_new = (d * decay + dtau_c * (lap - r)) * yzmask[0:1, :]
-        # global x-ring planes (real x = 0 and nx-1) keep dPrdτ = 0; this
-        # also kills halo/pad garbage picked up by lap there.
-        row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-        ring = jnp.logical_or(jnp.logical_and(first, row == 0),
-                              jnp.logical_and(last, row == B - 1))
-        d_new = jnp.where(ring, jnp.zeros_like(d_new), d_new)
+        # interior-x rows only: ring (gx=0, nx-1) and ghosts (gx>=nx) keep
+        # dPrdτ = 0; `where` also discards halo/pad garbage (even NaN).
+        live = jnp.logical_and(gx >= 1, gx <= nx - 2)
+        d_new = jnp.where(live, d_new, jnp.zeros_like(d_new))
         q = pc + dtau_c * d_new
         # ---- boundary conditions on the updated pressure ----
         if bc.zero_grad_x:
-            q = jnp.where(jnp.logical_and(first, row == 0),
-                          pltpu.roll(q, B - 1, 0), q)   # row 0 <- row 1
-            q = jnp.where(jnp.logical_and(last, row == B - 1),
-                          pltpu.roll(q, 1, 0), q)        # row B-1 <- row B-2
+            q = jnp.where(gx == 0, pltpu.roll(q, B - 1, 0), q)  # row<-row+1
+            q = jnp.where(gx == nx - 1, pltpu.roll(q, 1, 0), q)  # row<-row-1
         jr = jrow_r[0:1, :]
         zr = zrow_r[0:1, :]
         q = jnp.where(jr == 0, pltpu.roll(q, W - nz, 1), q)
@@ -141,10 +139,9 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         q = jnp.where(zr == 0, pltpu.roll(q, W - 1, 1), q)
         q = jnp.where(zr == nz - 1, pltpu.roll(q, 1, 1), q)
         if has_xlo:
-            q = jnp.where(jnp.logical_and(first, row == 0), xlo_r[0:1, :], q)
+            q = jnp.where(gx == 0, xlo_r[0:1, :], q)
         if has_xhi:
-            q = jnp.where(jnp.logical_and(last, row == B - 1),
-                          xhi_r[0:1, :], q)
+            q = jnp.where(gx == nx - 1, xhi_r[0:1, :], q)
         return q, d_new
 
     vmem_planes = (3 + 1 + 1 + 1 + 1) * (((B + 7) // 8) * 8) * 2 + 64
@@ -158,34 +155,53 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         transcendentals=0)
 
     if mode == "blocked":
+        # Mosaic requires the sublane block dim to be a multiple of 8 (or
+        # the full array dim): pad x to NXP = ceil(nx/B)*B with inert ghost
+        # rows (proof of inertness: d_new is zeroed there, pr ghosts start
+        # 0 and the update/BC selects never touch them).
+        if slab is None:
+            B = 8
+            env_b = os.environ.get("NS3D_PALLAS_SLAB")
+            if env_b:
+                B = int(env_b)
+        if not interpret and (B % 8 or nx % B == 1):
+            # nx % B == 1 would put the zero-grad hi source row (nx-2) in
+            # a different block than its target (nx-1)
+            raise ValueError(f"blocked mode needs slab%8==0 and nx%B!=1, "
+                             f"got B={B}, nx={nx}")
+        if interpret and nx % B == 1:
+            B += 1  # keep the BC source row in-slab for odd test shapes
+        NXP = ((nx + B - 1) // B) * B
+        S = NXP // B
+
         def kernel(prm, prc, prp, dpr, rhs, yzmask, jrow_r, zrow_r,
                    xlo_r, xhi_r, pr_out, dpr_out):
-            s = pl.program_id(0)
-            first = s == 0
-            last = s == S - 1
+            sidx = pl.program_id(0)
+            gx = sidx * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
             # x halo: last row of previous block / first row of next block.
             # At the edges the clamped blocks supply garbage that only
-            # reaches masked ring rows.
+            # reaches masked ring/ghost rows.
             p_ext = jnp.concatenate(
                 [prm[B - 1:B, :], prc[:, :], prp[0:1, :]], axis=0)
-            q, d_new = compute_slab(p_ext, dpr[:, :], rhs[:, :], yzmask,
-                                    jrow_r, zrow_r, xlo_r, xhi_r,
-                                    first, last)
+            q, d_new = compute_slab(p_ext, dpr[:, :], rhs[:, :], gx, yzmask,
+                                    jrow_r, zrow_r, xlo_r, xhi_r)
             pr_out[:, :] = q
             dpr_out[:, :] = d_new
 
-        row_block = lambda off: pl.BlockSpec(
-            (B, W),
-            (lambda s: (jnp.clip(s + off, 0, S - 1), 0)),
-            memory_space=pltpu.VMEM)
+        def row_block(off):
+            return pl.BlockSpec(
+                (B, W),
+                (lambda s: (jnp.clip(s + off, 0, S - 1), 0)),
+                memory_space=pltpu.VMEM)
+
         lane_row = pl.BlockSpec((1, W), (lambda s: (0, 0)),
                                 memory_space=pltpu.VMEM)
         pallas_iter = pl.pallas_call(
             kernel,
             grid=(S,),
             out_shape=(
-                jax.ShapeDtypeStruct((nx, W), jdtype),
-                jax.ShapeDtypeStruct((nx, W), jdtype),
+                jax.ShapeDtypeStruct((NXP, W), jdtype),
+                jax.ShapeDtypeStruct((NXP, W), jdtype),
             ),
             in_specs=[
                 row_block(-1), row_block(0), row_block(+1),  # pr x3
@@ -207,13 +223,13 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                                yzmask_c, jrow_c, zrow_c, xlo_c, xhi_c)
 
         def pack(pr, dprdtau, rhs3d):
-            z = lambda a: jnp.zeros((nx, W), jdtype).at[:, :nyz].set(
+            z = lambda a: jnp.zeros((NXP, W), jdtype).at[:nx, :nyz].set(
                 a.reshape(nx, nyz).astype(jdtype))
             return z(pr), z(dprdtau), z(rhs3d)
 
         def unpack(pr_flat, dpr_flat):
-            return (pr_flat[:, :nyz].reshape(nx, ny, nz),
-                    dpr_flat[:, :nyz].reshape(nx, ny, nz))
+            return (pr_flat[:nx, :nyz].reshape(nx, ny, nz),
+                    dpr_flat[:nx, :nyz].reshape(nx, ny, nz))
 
     elif mode == "dma":
         def kernel(pr_pad, dpr, rhs, yzmask, jrow_r, zrow_r, xlo_r, xhi_r,
@@ -249,9 +265,10 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 for dma in loads(slot, s):
                     dma.wait()
 
+                gx = s * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
                 q, d_new = compute_slab(
-                    pr_buf[slot], dpr_buf[slot], rhs_buf[slot], yzmask,
-                    jrow_r, zrow_r, xlo_r, xhi_r, s == 0, s == S - 1)
+                    pr_buf[slot], dpr_buf[slot], rhs_buf[slot], gx, yzmask,
+                    jrow_r, zrow_r, xlo_r, xhi_r)
                 opr_buf[:] = q
                 odpr_buf[:] = d_new
                 st1 = pltpu.make_async_copy(
