@@ -21,19 +21,27 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".cache", "jax"))
+# The blocked Pallas kernel is validated stable on the axon runtime (the
+# library default stays conservative; the benchmark opts in).
+os.environ.setdefault("NS3D_PALLAS", "1")
 
 
-def _device_healthy(timeout_s: int = 90) -> bool:
+def _device_healthy(timeout_s: int = 150, attempts: int = 2) -> bool:
     """Probe the accelerator in a subprocess: a wedged TPU runtime hangs
-    forever on the first op, which must not take the benchmark down."""
+    forever on the first op, which must not take the benchmark down.
+    Retries once — a concurrent client holding the device tunnel can
+    stall the first probe past its timeout."""
     code = ("import jax, jax.numpy as jnp;"
             "print(float((jnp.ones((8,128))*2).sum()))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, timeout=timeout_s)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for _ in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=timeout_s)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 if not _device_healthy() and os.environ.get("NS3D_BENCH_CPU_FALLBACK", "1") == "1":

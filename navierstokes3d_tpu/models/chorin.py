@@ -56,6 +56,13 @@ class ChorinSolver:
                 "jax.config.update('jax_enable_x64', True) or use float32.")
         self.masks: CylinderMasks = build_masks(cfg, self.grid)
         self.set_bc_vel, self.set_bc_pr = make_bc_fns(cfg, self.grid)
+        # advection backend: the bounded-window select-shift form is ~13x
+        # faster than XLA gathers on TPU; compat keeps the literal gather
+        # semantics (unbounded displacement clamping).
+        on_accel = jax.default_backend() not in ("cpu",)
+        self.advect_method = os.environ.get(
+            "NS3D_ADVECT",
+            "selectshift" if (on_accel and not cfg.compat) else "gather")
         self._init_pallas()
         self.step_jit = jax.jit(self.step, donate_argnums=0)
 
@@ -441,7 +448,8 @@ class ChorinSolver:
         c, vx, vy, vz = apply_cylinder(c, vx, vy, vz, self.masks)
         vx, vy, vz = self.set_bc_vel(vx, vy, vz)
         vx, vy, vz, c = advect(vx, vy, vz, c, dt, dx, dy, dz,
-                               compat=self.cfg.compat)
+                               compat=self.cfg.compat,
+                               method=self.advect_method)
         new_state = FlowState(pr=pr, vx=vx, vy=vy, vz=vz, c=c,
                               dprdtau=dprdtau)
         return new_state, stats

@@ -19,6 +19,7 @@ cell from CFL_adv = 1) replaces this on the hot path.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -76,16 +77,94 @@ def _ranges(dtype, *specs):
     return out
 
 
-def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool):
+# Max departure displacement (cells) handled by the select-shift backend;
+# |dt v / h| beyond this is clamped (the reference would sample farther,
+# but only reaches |δ|>3 when the run is already diverging).
+SELECTSHIFT_K = 3
+
+
+def _backtrack_selectshift(a_o, vxc, vyc, vzc, starts, dt, dx, dy, dz,
+                           k=SELECTSHIFT_K):
+    """Gather-free backtrack!: the trilinear corners lie within a bounded
+    (2k+2)^3 neighborhood, so the interpolation becomes a select-weighted
+    stencil of static shifted slices — TPU-friendly (the XLA gather path
+    costs ~13x more on v5e). Matches _backtrack to rounding whenever
+    |dt v / h| <= k. `starts` are the 1-based region starts per axis."""
+    n1, n2, n3 = a_o.shape
+    dtype = a_o.dtype
+    sx, sy, sz = starts
+    rs = jnp.broadcast_shapes(vxc.shape, vyc.shape, vzc.shape)
+
+    def axis_terms(v, d, axis, start, extent, n):
+        idx = jnp.arange(start, start + extent, dtype=dtype)
+        shape = [1, 1, 1]
+        shape[axis] = extent
+        idx = idx.reshape(shape)
+        dl = jnp.clip(dt * v / d, -k, k)
+        i1 = jnp.clip(jnp.floor(idx - dl), 1, n)
+        t = (dl > 0).astype(dtype) - jnp.fmod(dl, 1.0)
+        o1 = (i1 - idx).astype(jnp.int32)            # in [-k-1, k]
+        o2 = (jnp.minimum(i1 + 1, n) - idx).astype(jnp.int32)
+        return o1, o2, t
+
+    ox1, ox2, tx = axis_terms(vxc, dx, 0, sx, rs[0], n1)
+    oy1, oy2, ty = axis_terms(vyc, dy, 1, sy, rs[1], n2)
+    oz1, oz2, tz = axis_terms(vzc, dz, 2, sz, rs[2], n3)
+    P = k + 1
+    ap = jnp.pad(a_o, P)
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+    acc = jnp.zeros(rs, dtype)
+    # slice origin of region cell 0 in the padded array along each axis
+    bx, by, bz = P + sx - 1, P + sy - 1, P + sz - 1
+    for o in range(-P, k + 1):
+        wx = (jnp.where(ox1 == o, one - tx, zero)
+              + jnp.where(ox2 == o, tx, zero))
+        for p in range(-P, k + 1):
+            wy = (jnp.where(oy1 == p, one - ty, zero)
+                  + jnp.where(oy2 == p, ty, zero))
+            wxy = wx * wy
+            for q in range(-P, k + 1):
+                wz = (jnp.where(oz1 == q, one - tz, zero)
+                      + jnp.where(oz2 == q, tz, zero))
+                sl = ap[bx + o:bx + o + rs[0],
+                        by + p:by + p + rs[1],
+                        bz + q:bz + q + rs[2]]
+                acc = acc + (wxy * wz) * sl
+        # split the (2k+2)^3-term accumulation into one fused kernel per
+        # x-offset: the fully-fused form exceeds XLA's 16MB scoped-VMEM
+        # budget at 255-class grids
+        acc = jax.lax.optimization_barrier(acc)
+    return acc
+
+
+def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool,
+           method: str = "gather"):
     """Advect all staggered velocity components and the tracer C.
 
     Inputs are the post-BC fields of this step; they serve as both the *_o
     snapshots (reference copies at gpu.jl:141) and the write targets.
+    method: 'gather' (exact reference semantics, XLA gather) or
+    'selectshift' (bounded-window stencil, ~13x faster on TPU, displacement
+    clamped to SELECTSHIFT_K cells).
     """
     nx1, ny, nz = vx.shape          # (nx+1, ny, nz)
     nx = nx1 - 1
     dtype = vx.dtype
     vx_o, vy_o, vz_o, c_o = vx, vy, vz, c
+
+    if method == "selectshift":
+        def bt(a_o, vxc, vyc, vzc, starts):
+            return _backtrack_selectshift(a_o, vxc, vyc, vzc, starts,
+                                          dt, dx, dy, dz)
+    else:
+        def bt(a_o, vxc, vyc, vzc, starts):
+            stops = tuple(st + n - 1 for st, n in zip(
+                starts, jnp.broadcast_shapes(vxc.shape, vyc.shape,
+                                             vzc.shape)))
+            ix, iy, iz = _ranges(dtype, *zip(starts, stops))
+            return _backtrack(a_o, vxc, vyc, vzc, ix, iy, iz,
+                              dt, dx, dy, dz)
 
     # -- branch 1: Vx over ix in 2..nx (gpu.jl:308-314) --
     vxc = vx_o[1:-1, :, :]
@@ -93,9 +172,8 @@ def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool):
                   + vy_o[1:, :-1, :] + vy_o[1:, 1:, :])
     vzc = 0.25 * (vz_o[:-1, :, :-1] + vz_o[:-1, :, 1:]
                   + vz_o[1:, :, :-1] + vz_o[1:, :, 1:])
-    ix, iy, iz = _ranges(dtype, (2, nx), (1, ny), (1, nz))
     vx_new = vx.at[1:-1, :, :].set(
-        _backtrack(vx_o, vxc, vyc, vzc, ix, iy, iz, dt, dx, dy, dz))
+        bt(vx_o, vxc, vyc, vzc, (2, 1, 1)))
 
     # -- branch 2: Vy over iy in 2..ny (gpu.jl:315-320) --
     vxc = 0.25 * (vx_o[:-1, :-1, :] + vx_o[1:, :-1, :]
@@ -103,9 +181,8 @@ def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool):
     vyc = vy_o[:, 1:-1, :]
     vzc = 0.25 * (vz_o[:, :-1, :-1] + vz_o[:, :-1, 1:]
                   + vz_o[:, 1:, :-1] + vz_o[:, 1:, 1:])
-    ix, iy, iz = _ranges(dtype, (1, nx), (2, ny), (1, nz))
     vy_new = vy.at[:, 1:-1, :].set(
-        _backtrack(vy_o, vxc, vyc, vzc, ix, iy, iz, dt, dx, dy, dz))
+        bt(vy_o, vxc, vyc, vzc, (1, 2, 1)))
 
     # -- branch 3: iz in 2..nz with Vz-face velocities (gpu.jl:321-326) --
     vxc = 0.25 * (vx_o[:-1, :, :-1] + vx_o[1:, :, :-1]
@@ -113,23 +190,21 @@ def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool):
     vyc = 0.25 * (vy_o[:, :-1, :-1] + vy_o[:, 1:, :-1]
                   + vy_o[:, :-1, 1:] + vy_o[:, 1:, 1:])
     vzc = vz_o[:, :, 1:-1]
-    ix, iy, iz = _ranges(dtype, (1, nx), (1, ny), (2, nz))
     if compat:
         # Reference bug: writes Vy (with Vy_o source and Vy clamp bounds)
         # instead of Vz (gpu.jl:325). Overwrites branch-2 results wherever
         # both regions overlap, exactly as the sequential Julia kernel does.
-        vals = _backtrack(vy_o, vxc, vyc, vzc, ix, iy, iz, dt, dx, dy, dz)
+        vals = bt(vy_o, vxc, vyc, vzc, (1, 1, 2))
         vy_new = vy_new.at[:, :-1, 1:].set(vals)
         vz_new = vz
     else:
-        vals = _backtrack(vz_o, vxc, vyc, vzc, ix, iy, iz, dt, dx, dy, dz)
+        vals = bt(vz_o, vxc, vyc, vzc, (1, 1, 2))
         vz_new = vz.at[:, :, 1:-1].set(vals)
 
     # -- branch 4: tracer C over all cells (gpu.jl:327-332) --
     vxc = 0.5 * (vx_o[:-1, :, :] + vx_o[1:, :, :])
     vyc = 0.5 * (vy_o[:, :-1, :] + vy_o[:, 1:, :])
     vzc = 0.5 * (vz_o[:, :, :-1] + vz_o[:, :, 1:])
-    ix, iy, iz = _ranges(dtype, (1, nx), (1, ny), (1, nz))
-    c_new = _backtrack(c_o, vxc, vyc, vzc, ix, iy, iz, dt, dx, dy, dz)
+    c_new = bt(c_o, vxc, vyc, vzc, (1, 1, 1))
 
     return vx_new, vy_new, vz_new, c_new

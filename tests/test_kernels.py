@@ -103,14 +103,17 @@ def test_correct_v():
 
 
 @pytest.mark.parametrize("compat", [True, False])
-def test_advect(compat):
+@pytest.mark.parametrize("method", ["gather", "selectshift"])
+def test_advect(compat, method):
     # moderate velocities so departure points stay near (but some clamping
-    # paths trigger at the domain edges)
+    # paths trigger at the domain edges); displacements stay within the
+    # selectshift bound K=3
     vx, vy, vz = (0.8 * f for f in fields())
     c = rand((NX, NY, NZ))
     ref = orc.advect(vx, vy, vz, c, DT * 10, DX, DY, DZ, compat=compat)
     got = advect(jnp.asarray(vx), jnp.asarray(vy), jnp.asarray(vz),
-                 jnp.asarray(c), DT * 10, DX, DY, DZ, compat=compat)
+                 jnp.asarray(c), DT * 10, DX, DY, DZ, compat=compat,
+                 method=method)
     for name, g_, r_ in zip("vx vy vz c".split(), got, ref):
         assert_close(g_, r_)
 
