@@ -118,3 +118,20 @@ def test_full_step_with_pallas_interpret():
     for name in ("pr", "vx", "vy", "vz", "c"):
         a, b = np.asarray(getattr(st_ref, name)), np.asarray(getattr(st_pal, name))
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4, err_msg=name)
+
+
+def test_blocked_ghost_rows_stay_inert():
+    """With the default 8-row blocks, nx pads to NXP with ghost planes;
+    they must stay exactly zero through chained iterations (any leak would
+    corrupt the last real planes via the x-stencil)."""
+    cfg, solver, g, pr, dpr, divv = _setup("multi")  # nx=12 -> NXP=16
+    rho, dt = cfg.physics.rho, g.dt
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    iter_fn, pack, unpack = _pallas_fn(cfg, g, slab=None, mode="blocked")
+    pp, df, rf = pack(f32(pr), f32(dpr), (rho / dt) * f32(divv))
+    for _ in range(5):
+        pp, df = iter_fn(pp, df, rf)
+    assert np.all(np.asarray(pp)[g.nx:] == 0.0)
+    assert np.all(np.asarray(df)[g.nx:] == 0.0)
+    pr5, dpr5 = unpack(pp, df)
+    assert np.isfinite(np.asarray(pr5)).all()
