@@ -150,7 +150,8 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                                  100 * 2 ** 20)))
     cost = pl.CostEstimate(
         flops=20 * nx * W,
-        bytes_accessed=int(5.3 * nx * W * itemsize),
+        bytes_accessed=int((7.25 if mode == "blocked" else 5.3)
+                           * nx * W * itemsize),
         transcendentals=0)
 
     if mode == "blocked":
@@ -173,30 +174,26 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         NXP = ((nx + B - 1) // B) * B
         S = NXP // B
 
-        def kernel(prc, fl, fr, dpr, rhs, yzmask, jrow_r, zrow_r,
+        def kernel(prm, prc, prp, dpr, rhs, yzmask, jrow_r, zrow_r,
                    xlo_r, xhi_r, pr_out, dpr_out):
             sidx = pl.program_id(0)
             gx = sidx * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-            # x halo: pre-extracted neighbor face rows (fl = row s*B-1,
-            # fr = row s*B+B). Slab 0's fl and the last slab's fr are
-            # dummies that only reach masked ring/ghost rows. Reading Pr
-            # once + two face rows costs ~1.05 grid passes instead of the
-            # 3x of shifted whole-block halos.
-            p_ext = jnp.concatenate([fl[0, :, :], prc[:, :], fr[0, :, :]],
-                                    axis=0)
+            # x halo: last row of previous block / first row of next block.
+            # At the edges the clamped blocks supply garbage that only
+            # reaches masked ring/ghost rows.
+            p_ext = jnp.concatenate(
+                [prm[B - 1:B, :], prc[:, :], prp[0:1, :]], axis=0)
             q, d_new = compute_slab(p_ext, dpr[:, :], rhs[:, :], gx, yzmask,
                                     jrow_r, zrow_r, xlo_r, xhi_r)
             pr_out[:, :] = q
             dpr_out[:, :] = d_new
 
-        def row_block():
-            return pl.BlockSpec((B, W), (lambda s: (s, 0)),
-                                memory_space=pltpu.VMEM)
+        def row_block(off):
+            return pl.BlockSpec(
+                (B, W),
+                (lambda s: (jnp.clip(s + off, 0, S - 1), 0)),
+                memory_space=pltpu.VMEM)
 
-        # faces are (S, 1, W): trailing block dims equal the array dims,
-        # satisfying Mosaic's tiling constraint for 1-row blocks
-        face_row = pl.BlockSpec((1, 1, W), (lambda s: (s, 0, 0)),
-                                memory_space=pltpu.VMEM)
         lane_row = pl.BlockSpec((1, W), (lambda s: (0, 0)),
                                 memory_space=pltpu.VMEM)
         pallas_iter = pl.pallas_call(
@@ -207,13 +204,12 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 jax.ShapeDtypeStruct((NXP, W), jdtype),
             ),
             in_specs=[
-                row_block(),                                  # pr blocks
-                face_row, face_row,                           # halo faces
-                row_block(),                                  # dpr
-                row_block(),                                  # rhs
+                row_block(-1), row_block(0), row_block(+1),  # pr x3
+                row_block(0),                                 # dpr
+                row_block(0),                                 # rhs
                 lane_row, lane_row, lane_row, lane_row, lane_row,
             ],
-            out_specs=(row_block(), row_block()),
+            out_specs=(row_block(0), row_block(0)),
             compiler_params=compiler_params,
             cost_estimate=cost,
             interpret=interpret,
@@ -223,13 +219,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         xlo_c, xhi_c = jnp.asarray(xlo), jnp.asarray(xhi)
 
         def iter_fn(pr_flat, dpr_flat, rhs_flat):
-            # halo-face rows per slab: fl[s] = pr[s*B-1], fr[s] = pr[s*B+B]
-            # (cheap strided extraction, 2(S-1) rows per iteration)
-            dummy = pr_flat[0:1]
-            fl = jnp.concatenate([dummy, pr_flat[B - 1:NXP - 1:B]],
-                                 axis=0)[:, None, :]
-            fr = jnp.concatenate([pr_flat[B::B], dummy], axis=0)[:, None, :]
-            return pallas_iter(pr_flat, fl, fr, dpr_flat, rhs_flat,
+            return pallas_iter(pr_flat, pr_flat, pr_flat, dpr_flat, rhs_flat,
                                yzmask_c, jrow_c, zrow_c, xlo_c, xhi_c)
 
         def pack(pr, dprdtau, rhs3d):
