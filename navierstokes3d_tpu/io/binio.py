@@ -19,8 +19,6 @@ import numpy as np
 
 from . import native
 
-FIELD_ORDER = ("C", "Pr", "Vx", "Vy", "Vz")
-
 
 def save_array(path_noext: str, a: np.ndarray, *,
                asynchronous: bool = False) -> str:

@@ -20,7 +20,10 @@ Two pipeline modes:
   * 'dma': manual double-buffered async-copy pipeline reading Pr slabs
     with a 2-plane halo once -> ~5.25 passes (the HBM minimum). Pr
     carries 2 permanent pad planes in x so every slab DMA has uniform
-    shape.
+    shape. EXPERIMENTAL: interpret-mode validated only; an early version
+    crashed (and wedged) the axon remote TPU runtime, and the kernel is
+    VPU-bound anyway so the traffic saving buys nothing on v5e. Kept as
+    the scaffold for temporal blocking (docs/roadmap.md).
 Jacobi semantics need separate in/out Pr buffers (a slab's halo must be
 the neighbor's old value).
 """

@@ -12,9 +12,9 @@ second time with Vz-face-averaged velocities and Vz-derived bounds, so Vz is
 never advected (gpu.jl:321-326) — the golden regression values encode this.
 compat=False advects Vz properly.
 
-The 8-corner reads lower to a single XLA gather per corner; the Pallas
-kernel in kernels/advect (bounded-window formulation, exploiting |δ| ≲ 1
-cell from CFL_adv = 1) replaces this on the hot path.
+Two backends: 'gather' (8 XLA gathers per field — the literal semantics)
+and 'selectshift' (bounded-window select-weighted stencil, ~13x faster on
+TPU v5e; see _backtrack_selectshift).
 """
 
 from __future__ import annotations

@@ -96,7 +96,6 @@ def main(argv=None):
     else:
         state = solver.init_state()
     if mesh is not None:
-        from navierstokes3d_tpu.parallel import shard_state
         state = shard_state(state, mesh)
 
     def dump_frame(iframe, state, stats=None):
