@@ -135,3 +135,19 @@ def test_blocked_ghost_rows_stay_inert():
     assert np.all(np.asarray(df)[g.nx:] == 0.0)
     pr5, dpr5 = unpack(pp, df)
     assert np.isfinite(np.asarray(pr5)).all()
+
+
+def test_full_step_compat_with_pallas():
+    """compat=True with the Pallas Poisson path: the kernel implements the
+    exact update-then-BC sequence, so compat semantics hold on TPU too."""
+    cfg = ns.preset_multi(nx=12, nt=1, compat=True, dtype="float32")
+    s_ref = ns.ChorinSolver(cfg.replace(use_pallas=False))
+    s_pal = ns.ChorinSolver(cfg.replace(use_pallas=True))
+    assert s_pal._pallas is not None
+    st_ref, stats_ref = s_ref.step_jit(s_ref.init_state())
+    st_pal, stats_pal = s_pal.step_jit(s_pal.init_state())
+    assert int(stats_ref.iters) == int(stats_pal.iters)
+    for name in ("pr", "vx", "vy", "vz", "c"):
+        a = np.asarray(getattr(st_ref, name))
+        b = np.asarray(getattr(st_pal, name))
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4, err_msg=name)
