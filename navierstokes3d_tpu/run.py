@@ -40,6 +40,14 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--mesh", default=None,
                     help="device mesh PXxPYxPZ, e.g. 2x2x2 (default: 1 chip)")
+    ap.add_argument("--comm", choices=("auto", "shard_map"), default="auto",
+                    help="sharded communication backend: 'auto' lets the "
+                         "XLA SPMD partitioner insert halo collectives; "
+                         "'shard_map' uses the explicit ppermute halo "
+                         "exchange Poisson loop (parallel/halo.py)")
+    ap.add_argument("--halo-width", type=int, default=1,
+                    help="Poisson iterations batched per halo exchange in "
+                         "shard_map mode (temporal blocking)")
     ap.add_argument("--x64", action="store_true",
                     help="enable float64 (required for dtype=float64)")
     ap.add_argument("--platform", default=None,
@@ -82,7 +90,14 @@ def main(argv=None):
         from navierstokes3d_tpu.parallel import make_mesh, shard_state
         shape = tuple(int(p) for p in args.mesh.lower().split("x"))
         mesh = make_mesh(shape=shape)
-        step = solver.step_sharded_jit(mesh)
+        if args.comm == "shard_map":
+            import dataclasses as _dc
+            from navierstokes3d_tpu.config import ParallelConfig
+            solver = ns.ChorinSolver(cfg.replace(parallel=ParallelConfig(
+                mesh_shape=shape, halo=args.halo_width)))
+            step = solver.step_shard_map_jit(mesh)
+        else:
+            step = solver.step_sharded_jit(mesh)
 
     it0 = 0
     if args.resume:

@@ -152,3 +152,18 @@ def test_cli_jsonl_log(tmp_path):
     import json as _json
     lines = [_json.loads(l) for l in open(tmp_path / "steps.jsonl")]
     assert len(lines) == 2 and lines[0]["it"] == 1 and "err" in lines[0]
+
+
+def test_cli_shard_map_comm(tmp_path):
+    """CLI --comm shard_map drives the explicit ppermute-halo Poisson path
+    with halo batching on a virtual mesh."""
+    env = dict(os.environ, XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "-m", "navierstokes3d_tpu.run", "--nx", "16",
+         "--nt", "2", "--dtype", "float32", "--platform", "cpu",
+         "--mesh", "2x2x2", "--comm", "shard_map", "--halo-width", "2",
+         "--quiet"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "poisson_iters_per_sec" in r.stdout
