@@ -1,0 +1,81 @@
+"""Manufactured-solution validation: the pseudo-transient Poisson solve
+must converge to the exact solution of its own discrete system.
+
+The discrete operator (folded-BC form: zero-gradient faces as dropped
+neighbor terms, outlet Dirichlet column pinned) is assembled as a sparse
+matrix and solved directly with scipy; the iterative solve must agree to
+the level implied by its residual tolerance. This validates the whole
+chain — operator, BC folding, damping, convergence control — against
+linear algebra rather than against another stencil implementation.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+import jax.numpy as jnp
+
+import navierstokes3d_tpu as ns
+
+
+def assemble_operator(grid):
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    ix, iy, iz = nx - 2, ny - 2, nz - 2
+    n = ix * iy * iz
+    idx = lambda i, j, k: (i * iy + j) * iz + k
+    rows, cols, vals = [], [], []
+    cx, cy, cz = 1 / grid.dx**2, 1 / grid.dy**2, 1 / grid.dz**2
+    for i in range(ix):
+        for j in range(iy):
+            for k in range(iz):
+                r = idx(i, j, k)
+                diag = 0.0
+                for (di, dj, dk, c) in ((1, 0, 0, cx), (-1, 0, 0, cx),
+                                        (0, 1, 0, cy), (0, -1, 0, cy),
+                                        (0, 0, 1, cz), (0, 0, -1, cz)):
+                    ni, nj, nk = i + di, j + dj, k + dk
+                    if 0 <= ni < ix and 0 <= nj < iy and 0 <= nk < iz:
+                        diag -= c
+                        rows.append(r); cols.append(idx(ni, nj, nk))
+                        vals.append(c)
+                    elif di == 1 and ni == ix:
+                        diag -= c  # outlet Dirichlet-0 neighbor
+                    # else: zero-gradient neighbor, term drops
+                rows.append(r); cols.append(r); vals.append(diag)
+    return sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+
+
+def test_poisson_matches_direct_solve():
+    import dataclasses
+    # tight tolerance: at the reference's 1e-3 the permitted matrix
+    # residual maps to ~8% field error through ||A^-1|| (the quasi-Neumann
+    # operator is only weakly pinned via the outlet column) — a noteworthy
+    # property of the reference's own convergence criterion.
+    cfg = ns.preset_multi(nx=20, nt=1, compat=False)
+    cfg = cfg.replace(numerics=dataclasses.replace(cfg.numerics,
+                                                   eps_it=1e-6))
+    solver = ns.ChorinSolver(cfg)
+    g = solver.grid
+    x = np.linspace(0, np.pi, g.nx)[:, None, None]
+    y = np.linspace(0, 2 * np.pi, g.ny)[None, :, None]
+    z = np.linspace(0, np.pi, g.nz)[None, None, :]
+    divv = 0.01 * np.sin(x) * np.cos(y) * np.sin(z)
+
+    pr_it, _, stats = solver.poisson_solve(
+        jnp.zeros(g.shape_c), jnp.zeros(g.shape_c), jnp.asarray(divv))
+    assert float(stats.err) < cfg.numerics.eps_it
+
+    A = assemble_operator(g)
+    rhs = (cfg.physics.rho / g.dt) * divv[1:-1, 1:-1, 1:-1]
+    p_direct = spla.spsolve(A.tocsc(), rhs.ravel()).reshape(rhs.shape)
+    p_iter = np.asarray(pr_it)[1:-1, 1:-1, 1:-1]
+
+    # (a) the solver's contract: matrix residual below the absolute
+    # tolerance implied by err < eps_it
+    tol_abs = cfg.numerics.eps_it * cfg.physics.psc / g.ly**2
+    r_it = np.abs(A @ p_iter.ravel() - rhs.ravel()).max()
+    assert r_it < tol_abs, (r_it, tol_abs)
+    # (b) field agreement with the direct solution
+    scale = max(1.0, np.abs(p_direct).max())
+    err = np.abs(p_iter - p_direct).max()
+    assert err < 0.01 * scale, (err, scale)
