@@ -102,6 +102,14 @@ class NumericsConfig:
     cfl_adv: float = 1.0                    # advection CFL
     nt: int = 10
     dtype: str = "float64"          # reference runs Float64 throughout
+    # Poisson backend: 'pt' = the reference's damped pseudo-transient
+    # iteration (parity default); 'fdm' = exact fast-diagonalization
+    # direct solve (tensor-product eigenbases, MXU matmuls; a capability
+    # beyond the reference — ops/fdm_poisson.py).
+    poisson_backend: str = "pt"
+    # 'fdm' backend: max pseudo-transient polish chunks (of nchk
+    # iterations each, early exit on convergence) after the direct solve.
+    fdm_polish_chunks: int = 2
     # Explicit overrides for ny/nz (e.g. weak-scaling grids); None derives
     # them from the aspect ratio as the reference does.
     ny_override: Optional[int] = None

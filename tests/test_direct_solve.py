@@ -79,3 +79,29 @@ def test_poisson_matches_direct_solve():
     scale = max(1.0, np.abs(p_direct).max())
     err = np.abs(p_iter - p_direct).max()
     assert err < 0.01 * scale, (err, scale)
+
+
+def test_fdm_backend_full_step():
+    """The fast-diagonalization backend solves the pressure system exactly
+    (err orders of magnitude below the reference's tolerance) and the full
+    step matches the tightly-converged pseudo-transient step."""
+    import dataclasses
+    for preset, variant in ((ns.preset_multi, "multi"), (ns.preset_gpu, "gpu")):
+        cfg_fdm = preset(nx=20, nt=1, compat=False)
+        cfg_fdm = cfg_fdm.replace(numerics=dataclasses.replace(
+            cfg_fdm.numerics, poisson_backend="fdm"))
+        cfg_pt = preset(nx=20, nt=1, compat=False)
+        cfg_pt = cfg_pt.replace(numerics=dataclasses.replace(
+            cfg_pt.numerics, eps_it=1e-6))
+        s_fdm = ns.ChorinSolver(cfg_fdm)
+        s_pt = ns.ChorinSolver(cfg_pt)
+        st_fdm, stats = s_fdm.step_jit(s_fdm.init_state())
+        st_pt, _ = s_pt.step_jit(s_pt.init_state())
+        assert float(stats.err) < 1e-10, (variant, float(stats.err))
+        # tolerance covers the tight-PT reference's own residual-implied
+        # field error plus spin-up floor-flip amplification
+        for name in ("vx", "vy", "vz"):
+            a = np.asarray(getattr(st_pt, name))
+            b = np.asarray(getattr(st_fdm, name))
+            np.testing.assert_allclose(a, b, rtol=0, atol=2e-4,
+                                       err_msg=f"{variant}:{name}")
