@@ -82,10 +82,13 @@ class ChorinSolver:
         interpret = not on_tpu
         if want is None:
             want = on_tpu and self.dtype == jnp.float32
-            if backend == "axon" and os.environ.get("NS3D_PALLAS") != "1":
+            if ("axon" in str(jax.config.jax_platforms or "")
+                    and os.environ.get("NS3D_PALLAS") != "1"):
                 # The axon remote-TPU runtime has been wedged (requiring
                 # ~1h recovery) by Pallas kernel crashes; opt in explicitly
                 # with NS3D_PALLAS=1 once validated on the target runtime.
+                # (default_backend() reports 'tpu' for axon, so detect the
+                # plugin through jax_platforms.)
                 want = False
         if not want:
             return
