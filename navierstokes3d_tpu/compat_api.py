@@ -18,13 +18,16 @@ import numpy as np
 
 def run_navierstokes3d(do_vis: bool = False, do_save: bool = False,
                        do_print: bool = False, nx: int = 255, nt: int = 10,
-                       *, compat: bool = True, dtype: str = "float32",
+                       *, compat: bool = True, dtype: str = "float64",
                        out_dir: str = "out_save", viz_dir: str = "viz3D_out"):
     """The multi-GPU script's driver (NavierStokes3D_multi_gpu.jl:287-536).
 
     Returns (C_v, Pr_v, Vx_v, Vy_v, Vz_v): the global inner fields, as the
-    reference's final gather does (:528-535). Float64 requires
-    jax.config.update('jax_enable_x64', True) first.
+    reference's final gather does (:528-535). Defaults to float64 like the
+    reference (@init_parallel_stencil(..., Float64, 3), multi_gpu.jl:6),
+    which requires jax.config.update('jax_enable_x64', True) first (a clear
+    error is raised otherwise); pass dtype='float32' to opt into the TPU
+    fast path.
     """
     import jax
 
@@ -68,10 +71,12 @@ def run_navierstokes3d(do_vis: bool = False, do_save: bool = False,
 
 def runme(do_vis: bool = True, do_save: bool = False, *,
           nx: int = 255, nt: int = 10000, compat: bool = True,
-          dtype: str = "float32", out_dir: str = "out_save",
+          dtype: str = "float64", out_dir: str = "out_save",
           viz_dir: str = "viz3D_out"):
     """The single-GPU script's driver (NavierStokes3D_gpu.jl:12-173):
-    hydrostatic +100 Pa head forcing, .mat snapshots every 10 steps."""
+    hydrostatic +100 Pa head forcing, .mat snapshots every 10 steps.
+    Defaults to float64 like the reference (gpu.jl:6); requires x64 enabled
+    (clear error otherwise), dtype='float32' opts into the TPU fast path."""
     from . import ChorinSolver, preset_gpu
     from .io import matio, viz
 

@@ -166,7 +166,13 @@ class SimConfig:
     io: IOConfig = dataclasses.field(default_factory=IOConfig)
     parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
     variant: str = "multi"   # 'multi' | 'gpu' — which reference script's BCs/init
-    compat: bool = False     # replicate reference quirks bit-for-bit
+    # Replicate reference quirks (SURVEY.md §2.4) on a single-rank run.
+    # Scope: with >1 mesh device the reference's multi script computes
+    # damp = 2/nx from the LOCAL nx (multi_gpu.jl:340) — i.e. its damping
+    # depends on the process count; this framework always uses the global
+    # nx (grid.py), so multi-rank compat trajectories match the reference's
+    # 1-rank run, not its n-rank runs.
+    compat: bool = False
     # Fused Pallas TPU kernel for the Poisson hot loop: None = auto
     # (enabled on TPU backends for float32), True/False = force.
     use_pallas: Optional[bool] = None

@@ -122,10 +122,17 @@ class ChorinSolver:
         (NavierStokes3D_multi_gpu.jl:450-466).
         """
         from ..parallel.mesh import replicated, state_shardings
+        import functools
         sh = state_shardings(mesh)
         rep = replicated(mesh)
-        stats_sh = StepStats(iters=rep, err=rep, err_hist=rep)
-        return jax.jit(self.step, donate_argnums=0,
+        stats_sh = StepStats(iters=rep, err=rep, err_hist=rep,
+                             advect_clamped=rep)
+        # pallas_call cannot be partitioned by the SPMD partitioner; on a
+        # real multi-device mesh force the jnp Poisson backends.
+        poisson_fn = functools.partial(self.poisson_solve,
+                                       allow_pallas=(mesh.size == 1))
+        step = lambda state: self._step_impl(state, poisson_fn)
+        return jax.jit(step, donate_argnums=0,
                        in_shardings=(sh,), out_shardings=(sh, stats_sh))
 
     # ---- initialization ----
@@ -173,16 +180,21 @@ class ChorinSolver:
 
     # ---- Poisson solve ----
 
-    def poisson_solve(self, pr, dprdtau, divv):
+    def poisson_solve(self, pr, dprdtau, divv, *, allow_pallas=True):
+        """allow_pallas=False forces the jnp backends: pallas_call is opaque
+        to the XLA SPMD partitioner, so any step traced over a >1-device
+        global-view mesh must not reach the Pallas kernel (it would gather/
+        replicate the globally-sharded operands, or crash)."""
         if self.cfg.numerics.poisson_backend == "fdm":
-            return self._poisson_solve_fdm(pr, dprdtau, divv)
-        if self._pallas is not None:
+            return self._poisson_solve_fdm(pr, dprdtau, divv,
+                                           allow_pallas=allow_pallas)
+        if allow_pallas and self._pallas is not None:
             return self._poisson_solve_pallas(pr, dprdtau, divv)
         if not self.cfg.compat:
             return self._poisson_solve_jnp_folded(pr, dprdtau, divv)
         return self._poisson_solve_jnp(pr, dprdtau, divv)
 
-    def _poisson_solve_fdm(self, pr, dprdtau, divv):
+    def _poisson_solve_fdm(self, pr, dprdtau, divv, *, allow_pallas=True):
         """Exact direct solve via fast diagonalization (ops/fdm_poisson):
         ~6 MXU matmul passes replace the reference's thousands of
         pseudo-transient iterations. dprdtau passes through untouched
@@ -232,7 +244,7 @@ class ChorinSolver:
         # f32 grids the 1e-3 criterion sits below the stencil noise floor
         # anyway (docs/numerics.md), so a fixed budget loses nothing.
         mc = self.cfg.numerics.fdm_polish_chunks
-        if self._pallas is not None:
+        if allow_pallas and self._pallas is not None:
             return self._poisson_solve_pallas(pr, dpr0, divv, max_chunks=mc)
         if not self.cfg.compat:
             return self._poisson_solve_jnp_folded(pr, dpr0, divv,
@@ -491,7 +503,8 @@ class ChorinSolver:
 
         sh = state_shardings(mesh)
         rep = replicated(mesh)
-        stats_sh = StepStats(iters=rep, err=rep, err_hist=rep)
+        stats_sh = StepStats(iters=rep, err=rep, err_hist=rep,
+                             advect_clamped=rep)
         return jax.jit(step, donate_argnums=0,
                        in_shardings=(sh,), out_shardings=(sh, stats_sh))
 
@@ -515,12 +528,13 @@ class ChorinSolver:
         vx, vy, vz = ph.correct_v(vx, vy, vz, pr, dt, rho, dx, dy, dz)
         c, vx, vy, vz = apply_cylinder(c, vx, vy, vz, self.masks)
         vx, vy, vz = self.set_bc_vel(vx, vy, vz)
-        vx, vy, vz, c = advect(vx, vy, vz, c, dt, dx, dy, dz,
-                               compat=self.cfg.compat,
-                               method=self.advect_method)
+        vx, vy, vz, c, n_clamped = advect(vx, vy, vz, c, dt, dx, dy, dz,
+                                          compat=self.cfg.compat,
+                                          method=self.advect_method,
+                                          with_stats=True)
         new_state = FlowState(pr=pr, vx=vx, vy=vy, vz=vz, c=c,
                               dprdtau=dprdtau)
-        return new_state, stats
+        return new_state, stats.replace(advect_clamped=n_clamped)
 
     # ---- convenience driver (host loop; I/O hooks live in run.py) ----
 

@@ -89,7 +89,11 @@ def _backtrack_selectshift(a_o, vxc, vyc, vzc, starts, dt, dx, dy, dz,
     (2k+2)^3 neighborhood, so the interpolation becomes a select-weighted
     stencil of static shifted slices — TPU-friendly (the XLA gather path
     costs ~13x more on v5e). Matches _backtrack to rounding whenever
-    |dt v / h| <= k. `starts` are the 1-based region starts per axis."""
+    |dt v / h| <= k. `starts` are the 1-based region starts per axis.
+
+    Returns (values, n_clamped): n_clamped counts region points whose
+    displacement exceeded k on any axis (where the result diverges from
+    the reference's gather semantics)."""
     n1, n2, n3 = a_o.shape
     dtype = a_o.dtype
     sx, sy, sz = starts
@@ -100,16 +104,18 @@ def _backtrack_selectshift(a_o, vxc, vyc, vzc, starts, dt, dx, dy, dz,
         shape = [1, 1, 1]
         shape[axis] = extent
         idx = idx.reshape(shape)
-        dl = jnp.clip(dt * v / d, -k, k)
+        dl_raw = dt * v / d
+        dl = jnp.clip(dl_raw, -k, k)
         i1 = jnp.clip(jnp.floor(idx - dl), 1, n)
         t = (dl > 0).astype(dtype) - jnp.fmod(dl, 1.0)
         o1 = (i1 - idx).astype(jnp.int32)            # in [-k-1, k]
         o2 = (jnp.minimum(i1 + 1, n) - idx).astype(jnp.int32)
-        return o1, o2, t
+        return o1, o2, t, jnp.abs(dl_raw) > k
 
-    ox1, ox2, tx = axis_terms(vxc, dx, 0, sx, rs[0], n1)
-    oy1, oy2, ty = axis_terms(vyc, dy, 1, sy, rs[1], n2)
-    oz1, oz2, tz = axis_terms(vzc, dz, 2, sz, rs[2], n3)
+    ox1, ox2, tx, cx = axis_terms(vxc, dx, 0, sx, rs[0], n1)
+    oy1, oy2, ty, cy = axis_terms(vyc, dy, 1, sy, rs[1], n2)
+    oz1, oz2, tz, cz = axis_terms(vzc, dz, 2, sz, rs[2], n3)
+    n_clamped = jnp.sum((cx | cy | cz).astype(jnp.int32))
     P = k + 1
     ap = jnp.pad(a_o, P)
     one = jnp.ones((), dtype)
@@ -135,11 +141,11 @@ def _backtrack_selectshift(a_o, vxc, vyc, vzc, starts, dt, dx, dy, dz,
         # x-offset: the fully-fused form exceeds XLA's 16MB scoped-VMEM
         # budget at 255-class grids
         acc = jax.lax.optimization_barrier(acc)
-    return acc
+    return acc, n_clamped
 
 
 def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool,
-           method: str = "gather"):
+           method: str = "gather", with_stats: bool = False):
     """Advect all staggered velocity components and the tracer C.
 
     Inputs are the post-BC fields of this step; they serve as both the *_o
@@ -147,16 +153,22 @@ def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool,
     method: 'gather' (exact reference semantics, XLA gather) or
     'selectshift' (bounded-window stencil, ~13x faster on TPU, displacement
     clamped to SELECTSHIFT_K cells).
+    with_stats=True additionally returns the number of points whose
+    displacement hit the select-shift clamp (always 0 for 'gather').
     """
     nx1, ny, nz = vx.shape          # (nx+1, ny, nz)
     nx = nx1 - 1
     dtype = vx.dtype
     vx_o, vy_o, vz_o, c_o = vx, vy, vz, c
+    n_clamped = jnp.zeros((), jnp.int32)
 
     if method == "selectshift":
         def bt(a_o, vxc, vyc, vzc, starts):
-            return _backtrack_selectshift(a_o, vxc, vyc, vzc, starts,
-                                          dt, dx, dy, dz)
+            nonlocal n_clamped
+            vals, nc = _backtrack_selectshift(a_o, vxc, vyc, vzc, starts,
+                                              dt, dx, dy, dz)
+            n_clamped = n_clamped + nc
+            return vals
     else:
         def bt(a_o, vxc, vyc, vzc, starts):
             stops = tuple(st + n - 1 for st, n in zip(
@@ -207,4 +219,6 @@ def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool,
     vzc = 0.5 * (vz_o[:, :, :-1] + vz_o[:, :, 1:])
     c_new = bt(c_o, vxc, vyc, vzc, (1, 1, 1))
 
+    if with_stats:
+        return vx_new, vy_new, vz_new, c_new, n_clamped
     return vx_new, vy_new, vz_new, c_new

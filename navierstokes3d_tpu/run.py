@@ -28,7 +28,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--nt", type=int, default=10)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--compat", action="store_true",
-                    help="replicate reference quirks bit-for-bit")
+                    help="replicate reference quirks (1-rank semantics; "
+                         "multi-rank damp uses global nx, see config.py)")
     ap.add_argument("--vis", action="store_true")
     ap.add_argument("--save", action="store_true")
     ap.add_argument("--nvis", type=int, default=10)
@@ -113,28 +114,43 @@ def main(argv=None):
     if mesh is not None:
         state = shard_state(state, mesh)
 
-    def dump_frame(iframe, state, stats=None):
+    # vis and save run on independent cadences (reference checks %nvis and
+    # %nsave separately, gpu.jl:143,168); .bin dumps are frame-indexed while
+    # .mat snapshots are keyed by the step number with full-shape fields,
+    # exactly as the reference's save_array / matwrite calls do
+    # (multi_gpu.jl:515-523; gpu.jl:169).
+    ivis = isave = 0
+
+    def dump_save(it, state):
+        nonlocal isave
+        c, pr, vx, vy, vz = ns.gather_inner(state)
+        binio.save_fields(args.out_dir,
+                          isave, {"C": c, "Pr": pr, "Vx": vx,
+                                  "Vy": vy, "Vz": vz})
+        matio.save_step_mat(args.out_dir, it, np.asarray(state.pr),
+                            np.asarray(state.vx), np.asarray(state.vy),
+                            np.asarray(state.vz), np.asarray(state.c),
+                            g.dx, g.dy, g.dz)
+        isave += 1
+
+    def dump_vis(it, state, stats=None):
+        nonlocal ivis
         c, pr, vx, vy, vz = ns.gather_inner(state)
         fields = {"C": c, "Pr": pr, "Vx": vx, "Vy": vy, "Vz": vz}
-        if args.save:
-            binio.save_fields(args.out_dir, iframe, fields)
-            matio.save_step_mat(args.out_dir, iframe, pr, vx, vy, vz, c,
-                                g.dx, g.dy, g.dz)
-        if args.vis:
-            viz.save_frame(args.viz_dir, iframe, g, fields,
-                           t=iframe * args.nvis * g.dt)
-            if stats is not None:
-                hist = np.asarray(stats.err_hist)
-                valid = ~np.isnan(hist)
-                if valid.any():
-                    iters_axis = (np.arange(len(hist))[valid] + 1) * g.nchk / g.ny
-                    viz.save_convergence(args.viz_dir, iframe,
-                                         iters_axis, hist[valid])
+        viz.save_frame(args.viz_dir, ivis, g, fields, t=it * g.dt)
+        if stats is not None:
+            hist = np.asarray(stats.err_hist)
+            valid = ~np.isnan(hist)
+            if valid.any():
+                iters_axis = (np.arange(len(hist))[valid] + 1) * g.nchk / g.ny
+                viz.save_convergence(args.viz_dir, ivis,
+                                     iters_axis, hist[valid])
+        ivis += 1
 
-    iframe = 0
-    if args.save or args.vis:
-        dump_frame(iframe, state)
-        iframe += 1
+    if args.save:
+        dump_save(0, state)
+    if args.vis:
+        dump_vis(0, state)
 
     timer = RunTimer()
     for it in range(it0 + 1, it0 + args.nt + 1):
@@ -142,18 +158,27 @@ def main(argv=None):
         state, stats = step(state)
         jax.block_until_ready(state.pr)
         rec = timer.stop(it, int(stats.iters), float(stats.err))
+        n_clamped = (int(stats.advect_clamped)
+                     if stats.advect_clamped is not None else 0)
         if args.log_jsonl:
             with open(args.log_jsonl, "a") as f:
                 f.write(json.dumps(dict(it=it, iters=rec.poisson_iters,
                                         err=rec.err,
+                                        advect_clamped=n_clamped,
                                         wall_s=round(rec.wall_s, 4))) + "\n")
         if not args.quiet:
             print(f"#it = {it}  iters = {rec.poisson_iters}  "
                   f"err = {rec.err:.3e}  wall = {rec.wall_s:.3f}s",
                   file=sys.stderr)
-        if (args.save or args.vis) and it % min(args.nvis, args.nsave) == 0:
-            dump_frame(iframe, state, stats)
-            iframe += 1
+        if n_clamped:
+            print(f"WARNING: step {it}: {n_clamped} advection departure "
+                  "points exceeded the select-shift window (run likely "
+                  "diverging; semantics differ from reference gather here)",
+                  file=sys.stderr)
+        if args.save and it % args.nsave == 0:
+            dump_save(it, state)
+        if args.vis and it % args.nvis == 0:
+            dump_vis(it, state, stats)
         if args.checkpoint_every and it % args.checkpoint_every == 0:
             checkpoint.save_checkpoint(
                 os.path.join(args.ckpt_dir, f"ckpt_{it:07d}.npz"), state, it)

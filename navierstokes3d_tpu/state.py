@@ -39,10 +39,19 @@ class StepStats:
     err_hist[k] is the Poisson residual at the k-th convergence check
     (every nchk iterations, NavierStokes3D_gpu.jl:130-136); NaN for checks
     that never ran because the loop converged earlier.
+
+    advect_clamped counts grid points whose semi-Lagrangian departure
+    displacement exceeded the select-shift backend's bounded window
+    (ops/advect.SELECTSHIFT_K) this step — nonzero means the fast advection
+    path silently diverges from the reference's gather semantics (only
+    possible when the run is already blowing up; this makes it observable).
+    Always 0 for the 'gather' backend.
     """
     iters: jax.Array      # Poisson iterations executed (scalar int32)
     err: jax.Array        # final residual (scalar)
     err_hist: jax.Array   # (niter // nchk,)
+    advect_clamped: jax.Array | None = None  # scalar int32 (None inside
+    #                                           poisson-only solves)
 
 
 def zeros_state(grid: Grid, dtype) -> FlowState:

@@ -167,3 +167,34 @@ def test_cli_shard_map_comm(tmp_path):
         cwd=os.path.dirname(os.path.dirname(__file__)))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "poisson_iters_per_sec" in r.stdout
+
+
+def test_cli_independent_vis_save_cadence(tmp_path):
+    """--nvis 3 --nsave 5 over 6 steps: viz frames at it=0,3,6; saves at
+    it=0,5. The reference checks the two cadences independently
+    (gpu.jl:143,168); .mat snapshots are keyed by the step number with
+    full-shape fields (gpu.jl:169)."""
+    out = tmp_path / "out"
+    vdir = tmp_path / "viz"
+    r = subprocess.run(
+        [sys.executable, "-m", "navierstokes3d_tpu.run", "--nx", "9",
+         "--nt", "6", "--dtype", "float32", "--platform", "cpu", "--quiet",
+         "--vis", "--save", "--nvis", "3", "--nsave", "5",
+         "--out-dir", str(out), "--viz-dir", str(vdir)],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode == 0, r.stderr[-2000:]
+    # saves: frames 0000 (init) + 0001 (it=5), nothing else
+    assert (out / "out_Pr_v_0000.bin").exists()
+    assert (out / "out_Pr_v_0001.bin").exists()
+    assert not (out / "out_Pr_v_0002.bin").exists()
+    # .mat keyed by step it with full-shape fields (9 x 6 x 6 grid)
+    assert (out / "step_0.mat").exists()
+    assert (out / "step_5.mat").exists()
+    assert not (out / "step_1.mat").exists()
+    from navierstokes3d_tpu.io.matio import load_step_mat
+    m = load_step_mat(str(out / "step_5.mat"))
+    assert m["Pr"].shape == (9, 6, 6) and m["Vx"].shape == (10, 6, 6)
+    # viz frames 0 (init), 1 (it=3), 2 (it=6)
+    pngs = sorted(p.name for p in vdir.glob("3D_NavierStokes_xy_Pr_*.png"))
+    assert pngs == [f"3D_NavierStokes_xy_Pr_{i:04d}.png" for i in range(3)]

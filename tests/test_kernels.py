@@ -169,3 +169,24 @@ def test_bc_gpu():
     ref_pr = orc.set_bc_pr_gpu(pr, grid.dz, grid.nz, cfg.physics.g,
                                cfg.physics.rho)
     assert_close(set_bc_pr(jnp.asarray(pr)), ref_pr, tol=0)
+
+
+def test_advect_clamp_stat():
+    """Select-shift displacements beyond SELECTSHIFT_K silently diverge from
+    the reference's gather semantics; with_stats makes that observable.
+    A manufactured |dt*v/dx| >> K field must trip the counter."""
+    vx, vy, vz = (0.1 * f for f in fields())
+    c = rand((NX, NY, NZ))
+
+    def run(vx_, method):
+        return advect(jnp.asarray(vx_), jnp.asarray(vy), jnp.asarray(vz),
+                      jnp.asarray(c), DT * 10, DX, DY, DZ, compat=False,
+                      method=method, with_stats=True)
+
+    *_, n0 = run(vx, "selectshift")
+    assert int(n0) == 0, "mild velocities must not clamp"
+    big_vx = vx + 50.0 * DX / (DT * 10)  # displacement ~50 cells
+    *_, n1 = run(big_vx, "selectshift")
+    assert int(n1) > 0, "50-cell displacement must trip the clamp counter"
+    *_, n2 = run(big_vx, "gather")
+    assert int(n2) == 0, "gather backend is exact; reports no clamps"

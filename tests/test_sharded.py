@@ -135,3 +135,33 @@ def test_halo_width_batching_matches_width1(halo_width):
         scale = max(1.0, np.abs(a).max())
         np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=1e-9,
                                    err_msg=name)
+
+
+def test_sharded_step_never_calls_pallas():
+    """pallas_call is opaque to the SPMD partitioner: a step traced over a
+    >1-device global-view mesh must dispatch to the jnp Poisson backends
+    even when the solver has a Pallas kernel built (ADVICE r1, medium)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = ns.preset_multi(nx=16, nt=1, compat=False)
+    cfg = cfg.replace(numerics=dataclasses.replace(
+        cfg.numerics, niter_scale=1))
+    solver = ns.ChorinSolver(cfg)
+
+    class _Boom:
+        def __iter__(self):
+            raise AssertionError("Pallas backend reached under a "
+                                 ">1-device mesh")
+    solver._pallas = _Boom()  # sentinel: any use raises
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    st = shard_state(_random_state(solver), mesh)
+    stt, stats = solver.step_sharded_jit(mesh)(st)  # must not touch Pallas
+    assert int(stats.iters) > 0
+
+    # on a 1-device mesh the Pallas dispatch IS taken (and here trips the
+    # sentinel at trace time), proving the guard keys on mesh size
+    mesh1 = make_mesh(shape=(1, 1, 1), devices=jax.devices()[:1])
+    st1 = shard_state(_random_state(solver), mesh1)
+    with pytest.raises(AssertionError, match="Pallas backend reached"):
+        solver.step_sharded_jit(mesh1)(st1)
