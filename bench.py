@@ -21,9 +21,9 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".cache", "jax"))
-# The blocked Pallas kernel is validated stable on the axon runtime (the
-# library default stays conservative; the benchmark opts in).
-os.environ.setdefault("NS3D_PALLAS", "1")
+# The blocked Pallas kernel is the library default on TPU float32 (it is
+# validated stable on the axon runtime); no env opt-in needed — the bench
+# measures the as-shipped configuration.
 
 
 def _device_healthy(timeout_s: int = 150, attempts: int = 2) -> bool:

@@ -58,6 +58,14 @@ def dirichlet_x_hi(a, val):
     return a.at[-1].set(val)
 
 
+def affine_grad_z(a, lo_add, hi_add):
+    """Zero-gradient z planes with an additive offset: the split-pressure
+    (p' = Pr - P_static(z)) image of bc_z! — Pr[:,:,1]=Pr[:,:,2] becomes
+    p'[:,:,1] = p'[:,:,2] - rho*g*dz (P_static is linear in z)."""
+    return (a.at[:, :, 0].set(a[:, :, 1] + lo_add)
+            .at[:, :, -1].set(a[:, :, -2] + hi_add))
+
+
 def hydrostatic_x(pr, grid: Grid, rho, g, inlet_head):
     """bc_xhydstatic!: hydrostatic Dirichlet on both x planes; the inlet gets
     an extra +`inlet_head` Pa (gpu.jl:257-261). 1-based iz arithmetic:
@@ -72,12 +80,17 @@ def hydrostatic_x(pr, grid: Grid, rho, g, inlet_head):
 
 # ---- orchestrators ----
 
-def make_bc_fns(cfg: SimConfig, grid: Grid):
+def make_bc_fns(cfg: SimConfig, grid: Grid, pressure_split: bool = False):
     """Build (set_bc_vel, set_bc_pr) closures for the configured variant.
 
     Returns jit-friendly pure functions:
       set_bc_vel(vx, vy, vz) -> (vx, vy, vz)
       set_bc_pr(pr) -> pr
+
+    pressure_split=True (gpu variant only) builds the BCs for the split
+    field p' = Pr - P_static(z): the hydrostatic Dirichlet x planes become
+    the constants +inlet_head / 0, and bc_z! becomes an affine-offset copy
+    (see NumericsConfig.pressure_split).
     """
     phys = cfg.physics
     vin = phys.vin
@@ -125,14 +138,31 @@ def make_bc_fns(cfg: SimConfig, grid: Grid):
             vz = noslip_bottom_slip_top(vz)
             return vx, vy, vz
 
-        def set_bc_pr(pr):
-            # Order: NavierStokes3D_gpu.jl:281-286
-            pr = zero_grad_y(pr)
-            pr = zero_grad_z(pr)
-            pr = hydrostatic_x(pr, grid, phys.rho, phys.g, inlet_head=100.0)
-            return pr
+        if pressure_split:
+            rho_g_dz = phys.rho * phys.g * grid.dz
+
+            def set_bc_pr(pr):
+                # split image of NavierStokes3D_gpu.jl:281-286 (same order)
+                pr = zero_grad_y(pr)
+                pr = affine_grad_z(pr, -rho_g_dz, +rho_g_dz)
+                pr = pr.at[0].set(100.0).at[-1].set(0.0)
+                return pr
+        else:
+            def set_bc_pr(pr):
+                # Order: NavierStokes3D_gpu.jl:281-286
+                pr = zero_grad_y(pr)
+                pr = zero_grad_z(pr)
+                pr = hydrostatic_x(pr, grid, phys.rho, phys.g,
+                                   inlet_head=100.0)
+                return pr
 
     else:
         raise ValueError(f"unknown variant {cfg.variant!r}")
+
+    if pressure_split and cfg.variant != "gpu":
+        raise NotImplementedError(
+            "pressure_split is defined for the gpu variant's hydrostatic "
+            "profile (the multi preset has g=0, making the split an "
+            "identity)")
 
     return set_bc_vel, set_bc_pr

@@ -43,7 +43,7 @@ def run_navierstokes3d(do_vis: bool = False, do_save: bool = False,
 
     def dump(state, stats=None):
         nonlocal iframe
-        c, pr, vx, vy, vz = gather_inner(state)
+        c, pr, vx, vy, vz = solver.gather_inner(state)
         fields = {"C": c, "Pr": pr, "Vx": vx, "Vy": vy, "Vz": vz}
         if do_save:
             binio.save_fields(out_dir, iframe, fields)
@@ -66,7 +66,7 @@ def run_navierstokes3d(do_vis: bool = False, do_save: bool = False,
         if (do_vis and it % nvis == 0) or (do_save and it % nsave == 0):
             dump(state, stats)
 
-    return gather_inner(state)
+    return solver.gather_inner(state)
 
 
 def runme(do_vis: bool = True, do_save: bool = False, *,
@@ -88,7 +88,8 @@ def runme(do_vis: bool = True, do_save: bool = False, *,
     iframe = 0
 
     def fields_of(state):
-        return (np.asarray(state.pr), np.asarray(state.vx),
+        return (np.asarray(solver.full_pressure(state.pr)),
+                np.asarray(state.vx),
                 np.asarray(state.vy), np.asarray(state.vz),
                 np.asarray(state.c))
 

@@ -110,6 +110,44 @@ class NumericsConfig:
     # 'fdm' backend: max pseudo-transient polish chunks (of nchk
     # iterations each, early exit on convergence) after the direct solve.
     fdm_polish_chunks: int = 2
+    # Hydrostatic pressure split: the solver state stores
+    # p' = Pr - P_static(z) with P_static the exact linear hydrostatic
+    # profile (the gpu script's init/BC profile, gpu.jl:87,257-261). The
+    # discrete Laplacian of a linear-in-z profile is identically zero and
+    # the predictor's -rho*g body force cancels exactly against
+    # d/dz P_static in the corrector, so the split is ALGEBRAICALLY
+    # IDENTICAL to the reference formulation — but the stored field drops
+    # from O(rho*g*lz)~6e3 to O(100), lowering the float32 stencil noise
+    # floor of the residual metric by ~2 orders of magnitude (without it,
+    # float32 runs of the gpu preset can never meet eps_it; docs/numerics.md).
+    # None = auto: on for variant='gpu', compat=False, g!=0, 'pt' backend.
+    pressure_split: Optional[bool] = None
+    # Extended-precision Poisson iterate: carry the pressure as a
+    # double-single (hi,lo) float32 pair through the solve. Rationale: the
+    # residual metric of any plain-float32 field is floored at
+    # ~eps32*max|Pr|*(6/h^2)*ly^2/psc (representation noise of the stored
+    # field), which exceeds the reference's eps_it=1e-3 at 255-class grids
+    # even after the hydrostatic split — so a float32 run can never "exit
+    # converged" like the reference's Float64 run does (gpu.jl:6,135).
+    # The pair carries ~48 bits: lap(hi)+lap(lo) cancels the representation
+    # noise and the loop genuinely reaches eps_it, at ~2x cost/iteration
+    # (a converged solve uses ~10-25% of the iteration budget, so the step
+    # is still far cheaper than burning the full budget at the floor).
+    # None = auto: on when pressure_split is active and dtype is float32.
+    extended_precision: Optional[bool] = None
+    # Poisson stall exit: stop iterating when the residual has stopped
+    # improving (err > stall_ratio * previous err at `stall_checks`
+    # consecutive residual checks) — the field has converged to the dtype's
+    # noise floor and further iterations are pure waste (the reference
+    # burns its full niter budget instead, gpu.jl:126-137). Measured on the
+    # gpu preset: genuine convergence shows per-chunk ratios <= 0.83, the
+    # float32 floor fluctuates in 0.87-1.29, and genuinely-slow asymptotic
+    # convergence sits at ~0.886/chunk — hence ratio 0.9 with 3 consecutive
+    # checks (a single noisy chunk never triggers). None = auto: on when
+    # compat=False.
+    stall_exit: Optional[bool] = None
+    stall_ratio: float = 0.9
+    stall_checks: int = 3
     # Explicit overrides for ny/nz (e.g. weak-scaling grids); None derives
     # them from the aspect ratio as the reference does.
     ny_override: Optional[int] = None

@@ -20,17 +20,29 @@ from ..state import FlowState
 _FIELDS = ("pr", "vx", "vy", "vz", "c", "dprdtau")
 
 
-def save_checkpoint(path: str, state: FlowState, it: int) -> str:
+def save_checkpoint(path: str, state: FlowState, it: int,
+                    pressure_split: bool = False) -> str:
+    """pressure_split records whether state.pr stores p' = Pr - P_static(z)
+    (NumericsConfig.pressure_split); a resume must use the same convention."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, it=np.int64(it),
+             pressure_split=np.bool_(pressure_split),
              **{f: np.asarray(getattr(state, f)) for f in _FIELDS})
     return path if path.endswith(".npz") else path + ".npz"
 
 
-def load_checkpoint(path: str, dtype=None) -> Tuple[FlowState, int]:
+def load_checkpoint(path: str, dtype=None,
+                    expect_pressure_split: bool | None = None
+                    ) -> Tuple[FlowState, int]:
     with np.load(path) as z:
         arrs = {f: z[f] for f in _FIELDS}
         it = int(z["it"])
+        split = bool(z["pressure_split"]) if "pressure_split" in z else False
+    if expect_pressure_split is not None and split != expect_pressure_split:
+        raise ValueError(
+            f"checkpoint {path} stores pressure_split={split} but the "
+            f"solver expects {expect_pressure_split}; resume with a "
+            "matching NumericsConfig.pressure_split")
     if dtype is not None:
         arrs = {k: v.astype(dtype) for k, v in arrs.items()}
     return FlowState(**{k: jnp.asarray(v) for k, v in arrs.items()}), it

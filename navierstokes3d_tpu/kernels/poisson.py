@@ -47,10 +47,15 @@ class PoissonBCSpec(NamedTuple):
                    (bc_x!, bc_y!, bc_z!, outlet Dirichlet — multi_gpu.jl:175-184)
     gpu variant:   zero_grad_x=False, xlo_plane=prof+100, xhi_plane=prof
                    (bc_y!, bc_z!, hydrostatic x — gpu.jl:281-286)
+    gpu + split:   xlo_plane=100s, xhi_plane=zeros, z_lo_add=-rho*g*dz,
+                   z_hi_add=+rho*g*dz (the p' = Pr - P_static(z) image of
+                   the same BC sequence; bc.affine_grad_z)
     """
     zero_grad_x: bool
     xlo_plane: Optional[np.ndarray]   # (ny*nz,) or None
     xhi_plane: Optional[np.ndarray]   # (ny*nz,) or None
+    z_lo_add: float = 0.0             # additive offset on the z-lo copy
+    z_hi_add: float = 0.0             # additive offset on the z-hi copy
 
 
 def choose_slab(nx: int, w: int, itemsize: int = 4,
@@ -72,7 +77,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                        dz: float, dtau: float, damp: float,
                        bc: PoissonBCSpec, dtype=jnp.float32,
                        slab: Optional[int] = None, interpret: bool = False,
-                       mode: str = "blocked"):
+                       mode: str = "blocked", extended: bool = False):
     """Returns (iter_fn, pack, unpack):
 
       pack(pr, dprdtau, rhs3d) -> flattened state tuple
@@ -81,6 +86,13 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
 
     'dma' mode keeps Pr padded to (nx+2, W) with real planes at [1:nx+1];
     pad planes only ever feed masked ring cells.
+
+    extended=True (blocked mode): the pressure is a double-single (hi,lo)
+    float32 pair (NumericsConfig.extended_precision); iter_fn becomes
+    (hi, lo, dpr, rhs) -> (hi', lo', dpr'), pack returns (hi, lo, dpr, rhs)
+    and unpack takes (hi, lo, dpr). lap(hi)+lap(lo) cancels the stored
+    field's representation noise so the residual can genuinely reach the
+    reference's eps_it in float32.
     """
     nyz = ny * nz
     W = ((nyz + 127) // 128) * 128
@@ -113,25 +125,33 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
     has_xlo = bc.xlo_plane is not None
     has_xhi = bc.xhi_plane is not None
 
-    def compute_slab(p_ext, d, r, gx, yzmask, jrow_r, zrow_r, xlo_r, xhi_r):
-        """Shared slab math: p_ext (B+2,W) old-Pr with x halo planes,
-        d/r (B,W), gx (B,1) global x-row indices of the slab (ghost rows
-        beyond nx-1 on a padded grid stay identically zero).
-        Returns (new_pr (B,W), new_dpr (B,W))."""
+    # z-offset BC constants as double-single pairs (exact residual of the
+    # f32 rounding goes to the lo channel in extended mode)
+    zlo_hi = np.array(bc.z_lo_add, np.dtype(dtype))
+    zhi_hi = np.array(bc.z_hi_add, np.dtype(dtype))
+    zlo_lo = np.array(np.float64(bc.z_lo_add) - np.float64(zlo_hi),
+                      np.dtype(dtype))
+    zhi_lo = np.array(np.float64(bc.z_hi_add) - np.float64(zhi_hi),
+                      np.dtype(dtype))
+
+    def lap_of_rows(p_ext):
+        # difference-first evaluation ((p+ - pc) + (p- - pc), not
+        # p+ - 2pc + p-): neighbor differences of close values round at
+        # ~eps*|difference| instead of eps*|value| — decisive for the
+        # extended-precision pair, whose whole point is removing the
+        # eps*|value| noise (a - 2c + b form floors the residual at ~2e-3
+        # on the split gpu preset; this form reaches eps_it).
         pc = p_ext[1:B + 1, :]
-        lap = (p_ext[2:B + 2, :] - 2.0 * pc + p_ext[0:B, :]) * inv_dx2
+        lap = ((p_ext[2:B + 2, :] - pc) + (p_ext[0:B, :] - pc)) * inv_dx2
         # pltpu.roll needs non-negative shifts: -k == W - k (cyclic)
-        lap += (pltpu.roll(pc, W - nz, 1) - 2.0 * pc
-                + pltpu.roll(pc, nz, 1)) * inv_dy2
-        lap += (pltpu.roll(pc, W - 1, 1) - 2.0 * pc
-                + pltpu.roll(pc, 1, 1)) * inv_dz2
-        d_new = (d * decay + dtau_c * (lap - r)) * yzmask[0:1, :]
-        # interior-x rows only: ring (gx=0, nx-1) and ghosts (gx>=nx) keep
-        # dPrdτ = 0; `where` also discards halo/pad garbage (even NaN).
-        live = jnp.logical_and(gx >= 1, gx <= nx - 2)
-        d_new = jnp.where(live, d_new, jnp.zeros_like(d_new))
-        q = pc + dtau_c * d_new
-        # ---- boundary conditions on the updated pressure ----
+        lap += ((pltpu.roll(pc, W - nz, 1) - pc)
+                + (pltpu.roll(pc, nz, 1) - pc)) * inv_dy2
+        lap += ((pltpu.roll(pc, W - 1, 1) - pc)
+                + (pltpu.roll(pc, 1, 1) - pc)) * inv_dz2
+        return lap, pc
+
+    def apply_bc_rows(q, gx, jrow_r, zrow_r, xlo_r, xhi_r, z_lo_c, z_hi_c):
+        """The reference's set_bc_Pr! plane sequence on a (B,W) slab."""
         if bc.zero_grad_x:
             q = jnp.where(gx == 0, pltpu.roll(q, B - 1, 0), q)  # row<-row+1
             q = jnp.where(gx == nx - 1, pltpu.roll(q, 1, 0), q)  # row<-row-1
@@ -139,21 +159,74 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         zr = zrow_r[0:1, :]
         q = jnp.where(jr == 0, pltpu.roll(q, W - nz, 1), q)
         q = jnp.where(jr == ny - 1, pltpu.roll(q, nz, 1), q)
-        q = jnp.where(zr == 0, pltpu.roll(q, W - 1, 1), q)
-        q = jnp.where(zr == nz - 1, pltpu.roll(q, 1, 1), q)
+        zlo_src = pltpu.roll(q, W - 1, 1)
+        zhi_src = pltpu.roll(q, 1, 1)
+        if float(z_lo_c) != 0.0:
+            zlo_src = zlo_src + z_lo_c
+        if float(z_hi_c) != 0.0:
+            zhi_src = zhi_src + z_hi_c
+        q = jnp.where(zr == 0, zlo_src, q)
+        q = jnp.where(zr == nz - 1, zhi_src, q)
         if has_xlo:
             q = jnp.where(gx == 0, xlo_r[0:1, :], q)
         if has_xhi:
             q = jnp.where(gx == nx - 1, xhi_r[0:1, :], q)
+        return q
+
+    def compute_slab(p_ext, d, r, gx, yzmask, jrow_r, zrow_r, xlo_r, xhi_r):
+        """Shared slab math: p_ext (B+2,W) old-Pr with x halo planes,
+        d/r (B,W), gx (B,1) global x-row indices of the slab (ghost rows
+        beyond nx-1 on a padded grid stay identically zero).
+        Returns (new_pr (B,W), new_dpr (B,W))."""
+        lap, pc = lap_of_rows(p_ext)
+        d_new = (d * decay + dtau_c * (lap - r)) * yzmask[0:1, :]
+        # interior-x rows only: ring (gx=0, nx-1) and ghosts (gx>=nx) keep
+        # dPrdτ = 0; `where` also discards halo/pad garbage (even NaN).
+        live = jnp.logical_and(gx >= 1, gx <= nx - 2)
+        d_new = jnp.where(live, d_new, jnp.zeros_like(d_new))
+        q = pc + dtau_c * d_new
+        # ---- boundary conditions on the updated pressure ----
+        q = apply_bc_rows(q, gx, jrow_r, zrow_r, xlo_r, xhi_r,
+                          zlo_hi, zhi_hi)
         return q, d_new
 
-    vmem_planes = (3 + 1 + 1 + 1 + 1) * (((B + 7) // 8) * 8) * 2 + 64
+    def compute_slab_ext(h_ext, l_ext, d, r, gx, yzmask, jrow_r, zrow_r,
+                         xlo_r, xhi_r):
+        """Double-single slab math: the pressure pair (hi, lo) satisfies
+        lap(hi)+lap(lo) == lap(hi+lo) in real arithmetic; the update
+        renormalizes through an exact two_sum. Dirichlet x planes write
+        (plane, 0); z offsets add their own (hi, lo) constant split."""
+        lap_h, hc = lap_of_rows(h_ext)
+        lap_l, lc = lap_of_rows(l_ext)
+        resid = (lap_h - r) + lap_l
+        d_new = (d * decay + dtau_c * resid) * yzmask[0:1, :]
+        live = jnp.logical_and(gx >= 1, gx <= nx - 2)
+        d_new = jnp.where(live, d_new, jnp.zeros_like(d_new))
+        u = lc + dtau_c * d_new
+        s = hc + u                      # two_sum(hc, u): exact hi' + lo'
+        ap = s - u
+        bp = s - ap
+        q = s
+        ql = (hc - ap) + (u - bp)
+        q = apply_bc_rows(q, gx, jrow_r, zrow_r, xlo_r, xhi_r,
+                          zlo_hi, zhi_hi)
+        ql = apply_bc_rows(ql, gx, jrow_r, zrow_r,
+                           jnp.zeros_like(xlo_r), jnp.zeros_like(xhi_r),
+                           zlo_lo, zhi_lo)
+        return q, ql, d_new
+
+    # double-buffered block working set: blocked = 3 pr-in + dpr + rhs +
+    # 2 out; extended doubles the pressure traffic (3 hi + 3 lo) and adds
+    # a third output
+    n_block_bufs = (3 + 3 + 1 + 1 + 3) if extended else (3 + 1 + 1 + 1 + 1)
+    vmem_planes = n_block_bufs * (((B + 7) // 8) * 8) * 2 + 64
     compiler_params = pltpu.CompilerParams(
-        vmem_limit_bytes=int(min(vmem_planes * W * itemsize + 2 ** 21,
+        vmem_limit_bytes=int(min(vmem_planes * W * itemsize + 2 ** 22,
                                  100 * 2 ** 20)))
     cost = pl.CostEstimate(
-        flops=20 * nx * W,
-        bytes_accessed=int((7.25 if mode == "blocked" else 5.3)
+        flops=(36 if extended else 20) * nx * W,
+        bytes_accessed=int(((11.25 if extended else 7.25)
+                            if mode == "blocked" else 5.3)
                            * nx * W * itemsize),
         transcendentals=0)
 
@@ -177,20 +250,6 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         NXP = ((nx + B - 1) // B) * B
         S = NXP // B
 
-        def kernel(prm, prc, prp, dpr, rhs, yzmask, jrow_r, zrow_r,
-                   xlo_r, xhi_r, pr_out, dpr_out):
-            sidx = pl.program_id(0)
-            gx = sidx * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-            # x halo: last row of previous block / first row of next block.
-            # At the edges the clamped blocks supply garbage that only
-            # reaches masked ring/ghost rows.
-            p_ext = jnp.concatenate(
-                [prm[B - 1:B, :], prc[:, :], prp[0:1, :]], axis=0)
-            q, d_new = compute_slab(p_ext, dpr[:, :], rhs[:, :], gx, yzmask,
-                                    jrow_r, zrow_r, xlo_r, xhi_r)
-            pr_out[:, :] = q
-            dpr_out[:, :] = d_new
-
         def row_block(off):
             return pl.BlockSpec(
                 (B, W),
@@ -199,40 +258,105 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
 
         lane_row = pl.BlockSpec((1, W), (lambda s: (0, 0)),
                                 memory_space=pltpu.VMEM)
-        pallas_iter = pl.pallas_call(
-            kernel,
-            grid=(S,),
-            out_shape=(
-                jax.ShapeDtypeStruct((NXP, W), jdtype),
-                jax.ShapeDtypeStruct((NXP, W), jdtype),
-            ),
-            in_specs=[
-                row_block(-1), row_block(0), row_block(+1),  # pr x3
-                row_block(0),                                 # dpr
-                row_block(0),                                 # rhs
-                lane_row, lane_row, lane_row, lane_row, lane_row,
-            ],
-            out_specs=(row_block(0), row_block(0)),
-            compiler_params=compiler_params,
-            cost_estimate=cost,
-            interpret=interpret,
-        )
-
         yzmask_c, jrow_c, zrow_c = map(jnp.asarray, (yz_interior, jrow, zrow))
         xlo_c, xhi_c = jnp.asarray(xlo), jnp.asarray(xhi)
+        slab_shape = jax.ShapeDtypeStruct((NXP, W), jdtype)
 
-        def iter_fn(pr_flat, dpr_flat, rhs_flat):
-            return pallas_iter(pr_flat, pr_flat, pr_flat, dpr_flat, rhs_flat,
-                               yzmask_c, jrow_c, zrow_c, xlo_c, xhi_c)
-
-        def pack(pr, dprdtau, rhs3d):
-            z = lambda a: jnp.zeros((NXP, W), jdtype).at[:nx, :nyz].set(
+        def zpack(a):
+            return jnp.zeros((NXP, W), jdtype).at[:nx, :nyz].set(
                 a.reshape(nx, nyz).astype(jdtype))
-            return z(pr), z(dprdtau), z(rhs3d)
 
-        def unpack(pr_flat, dpr_flat):
-            return (pr_flat[:nx, :nyz].reshape(nx, ny, nz),
-                    dpr_flat[:nx, :nyz].reshape(nx, ny, nz))
+        def unflat(a):
+            return a[:nx, :nyz].reshape(nx, ny, nz)
+
+        if not extended:
+            def kernel(prm, prc, prp, dpr, rhs, yzmask, jrow_r, zrow_r,
+                       xlo_r, xhi_r, pr_out, dpr_out):
+                sidx = pl.program_id(0)
+                gx = sidx * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+                # x halo: last row of previous block / first row of next
+                # block. At the edges the clamped blocks supply garbage
+                # that only reaches masked ring/ghost rows.
+                p_ext = jnp.concatenate(
+                    [prm[B - 1:B, :], prc[:, :], prp[0:1, :]], axis=0)
+                q, d_new = compute_slab(p_ext, dpr[:, :], rhs[:, :], gx,
+                                        yzmask, jrow_r, zrow_r, xlo_r, xhi_r)
+                pr_out[:, :] = q
+                dpr_out[:, :] = d_new
+
+            pallas_iter = pl.pallas_call(
+                kernel,
+                grid=(S,),
+                out_shape=(slab_shape, slab_shape),
+                in_specs=[
+                    row_block(-1), row_block(0), row_block(+1),  # pr x3
+                    row_block(0),                                 # dpr
+                    row_block(0),                                 # rhs
+                    lane_row, lane_row, lane_row, lane_row, lane_row,
+                ],
+                out_specs=(row_block(0), row_block(0)),
+                compiler_params=compiler_params,
+                cost_estimate=cost,
+                interpret=interpret,
+            )
+
+            def iter_fn(pr_flat, dpr_flat, rhs_flat):
+                return pallas_iter(pr_flat, pr_flat, pr_flat, dpr_flat,
+                                   rhs_flat, yzmask_c, jrow_c, zrow_c,
+                                   xlo_c, xhi_c)
+
+            def pack(pr, dprdtau, rhs3d):
+                return zpack(pr), zpack(dprdtau), zpack(rhs3d)
+
+            def unpack(pr_flat, dpr_flat):
+                return unflat(pr_flat), unflat(dpr_flat)
+
+        else:
+            def kernel(him, hic, hip, lom, loc, lop, dpr, rhs, yzmask,
+                       jrow_r, zrow_r, xlo_r, xhi_r,
+                       hi_out, lo_out, dpr_out):
+                sidx = pl.program_id(0)
+                gx = sidx * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+                h_ext = jnp.concatenate(
+                    [him[B - 1:B, :], hic[:, :], hip[0:1, :]], axis=0)
+                l_ext = jnp.concatenate(
+                    [lom[B - 1:B, :], loc[:, :], lop[0:1, :]], axis=0)
+                q, ql, d_new = compute_slab_ext(
+                    h_ext, l_ext, dpr[:, :], rhs[:, :], gx, yzmask,
+                    jrow_r, zrow_r, xlo_r, xhi_r)
+                hi_out[:, :] = q
+                lo_out[:, :] = ql
+                dpr_out[:, :] = d_new
+
+            pallas_iter = pl.pallas_call(
+                kernel,
+                grid=(S,),
+                out_shape=(slab_shape, slab_shape, slab_shape),
+                in_specs=[
+                    row_block(-1), row_block(0), row_block(+1),  # hi x3
+                    row_block(-1), row_block(0), row_block(+1),  # lo x3
+                    row_block(0),                                 # dpr
+                    row_block(0),                                 # rhs
+                    lane_row, lane_row, lane_row, lane_row, lane_row,
+                ],
+                out_specs=(row_block(0), row_block(0), row_block(0)),
+                compiler_params=compiler_params,
+                cost_estimate=cost,
+                interpret=interpret,
+            )
+
+            def iter_fn(hi_flat, lo_flat, dpr_flat, rhs_flat):
+                return pallas_iter(hi_flat, hi_flat, hi_flat,
+                                   lo_flat, lo_flat, lo_flat,
+                                   dpr_flat, rhs_flat, yzmask_c, jrow_c,
+                                   zrow_c, xlo_c, xhi_c)
+
+            def pack(pr, dprdtau, rhs3d):
+                return (zpack(pr), jnp.zeros((NXP, W), jdtype),
+                        zpack(dprdtau), zpack(rhs3d))
+
+            def unpack(hi_flat, lo_flat, dpr_flat):
+                return unflat(hi_flat), unflat(lo_flat), unflat(dpr_flat)
 
     elif mode == "dma":
         def kernel(pr_pad, dpr, rhs, yzmask, jrow_r, zrow_r, xlo_r, xhi_r,

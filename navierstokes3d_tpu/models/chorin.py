@@ -39,6 +39,7 @@ from ..grid import Grid, make_grid
 from ..ops import physics as ph
 from ..ops.advect import advect
 from ..ops.cylinder import CylinderMasks, apply_cylinder, build_masks
+from ..ptloop import pt_loop
 from ..state import FlowState, StepStats, zeros_state
 
 
@@ -55,7 +56,14 @@ class ChorinSolver:
                 "float64 requested but jax_enable_x64 is off; set "
                 "jax.config.update('jax_enable_x64', True) or use float32.")
         self.masks: CylinderMasks = build_masks(cfg, self.grid)
-        self.set_bc_vel, self.set_bc_pr = make_bc_fns(cfg, self.grid)
+        self._init_split()
+        self.set_bc_vel, self.set_bc_pr = make_bc_fns(
+            cfg, self.grid, pressure_split=self.pressure_split)
+        stall_on = cfg.numerics.stall_exit
+        if stall_on is None:
+            stall_on = not cfg.compat
+        self._stall = ((cfg.numerics.stall_ratio, cfg.numerics.stall_checks)
+                       if stall_on else None)
         # advection backend: the bounded-window select-shift form is ~13x
         # faster than XLA gathers on TPU; compat keeps the literal gather
         # semantics (unbounded displacement clamping).
@@ -65,6 +73,52 @@ class ChorinSolver:
             "selectshift" if (on_accel and not cfg.compat) else "gather")
         self._init_pallas()
         self.step_jit = jax.jit(self.step, donate_argnums=0)
+
+    def _init_split(self):
+        """Hydrostatic pressure split (NumericsConfig.pressure_split):
+        state.pr stores p' = Pr - P_static(z), with P_static the exact
+        init/BC profile rho*g*(nz-iz+0.5)*dz (gpu.jl:87,257-261 — both are
+        the same linear-in-z profile). Algebraically identical to the
+        reference formulation; see config.py for the float32 rationale."""
+        cfg, phys, grid = self.cfg, self.cfg.physics, self.grid
+        want = cfg.numerics.pressure_split
+        if want is None:
+            want = (cfg.variant == "gpu" and not cfg.compat
+                    and phys.g != 0.0
+                    and cfg.numerics.poisson_backend != "fdm")
+        self.pressure_split = bool(want)
+        ext = cfg.numerics.extended_precision
+        if ext is None:
+            ext = (self.pressure_split
+                   and cfg.numerics.jnp_dtype == jnp.float32)
+        elif ext and cfg.compat:
+            raise ValueError("extended_precision changes the iterate and "
+                             "cannot compose with compat mode")
+        self.extended = bool(ext)
+        if self.pressure_split:
+            if cfg.numerics.poisson_backend == "fdm":
+                raise NotImplementedError(
+                    "pressure_split composes only with the 'pt' backend "
+                    "(the fdm backend hoists the static boundary terms "
+                    "itself)")
+            iz = np.arange(1, grid.nz + 1, dtype=np.float64)
+            self._p_static = (phys.rho * phys.g
+                              * (grid.nz - iz + 0.5) * grid.dz)  # (nz,)
+        else:
+            self._p_static = None
+
+    def full_pressure(self, pr) -> jax.Array:
+        """Physical pressure Pr from the state's pressure field (identity
+        unless the hydrostatic split is active)."""
+        if not self.pressure_split:
+            return pr
+        return pr + jnp.asarray(self._p_static, pr.dtype)[None, None, :]
+
+    def gather_inner(self, state: "FlowState"):
+        """gather_inner with the physical (unsplit) pressure."""
+        return gather_inner(
+            state if not self.pressure_split
+            else state.replace(pr=self.full_pressure(state.pr)))
 
     def _init_pallas(self):
         """Build the fused Poisson-iteration Pallas kernel when enabled.
@@ -76,19 +130,26 @@ class ChorinSolver:
                                        choose_slab)
         cfg, grid = self.cfg, self.grid
         self._pallas = None
+        self._pallas_ext = False
         want = cfg.use_pallas
         backend = jax.default_backend()
         on_tpu = backend not in ("cpu", "gpu")
         interpret = not on_tpu
+        mode = os.environ.get("NS3D_PALLAS_MODE", "blocked")
         if want is None:
             want = on_tpu and self.dtype == jnp.float32
-            if ("axon" in str(jax.config.jax_platforms or "")
+            if (mode != "blocked"
+                    and "axon" in str(jax.config.jax_platforms or "")
                     and os.environ.get("NS3D_PALLAS") != "1"):
-                # The axon remote-TPU runtime has been wedged (requiring
-                # ~1h recovery) by Pallas kernel crashes; opt in explicitly
-                # with NS3D_PALLAS=1 once validated on the target runtime.
+                # The auto-pipelined 'blocked' kernel is validated stable on
+                # the axon remote-TPU runtime (runbook + burn-in, round 1-2)
+                # and is the default everywhere. Experimental modes (e.g.
+                # the manual-DMA variant, which once wedged the runtime for
+                # ~1h) stay behind an explicit NS3D_PALLAS=1 opt-in there.
                 # (default_backend() reports 'tpu' for axon, so detect the
                 # plugin through jax_platforms.)
+                want = False
+            if os.environ.get("NS3D_PALLAS") == "0":
                 want = False
         if not want:
             return
@@ -99,6 +160,12 @@ class ChorinSolver:
         if cfg.variant == "multi":
             bc = PoissonBCSpec(zero_grad_x=True, xlo_plane=None,
                                xhi_plane=np.zeros(nyz))
+        elif self.pressure_split:
+            rho_g_dz = phys.rho * phys.g * grid.dz
+            bc = PoissonBCSpec(zero_grad_x=False,
+                               xlo_plane=np.full(nyz, 100.0),
+                               xhi_plane=np.zeros(nyz),
+                               z_lo_add=-rho_g_dz, z_hi_add=+rho_g_dz)
         else:
             iz = np.arange(1, grid.nz + 1, dtype=np.float64)
             prof = phys.rho * phys.g * (grid.nz - iz + 0.5) * grid.dz
@@ -106,11 +173,11 @@ class ChorinSolver:
             bc = PoissonBCSpec(zero_grad_x=False,
                                xlo_plane=(prof2d + 100.0).ravel(),
                                xhi_plane=prof2d.ravel())
-        mode = os.environ.get("NS3D_PALLAS_MODE", "blocked")
+        self._pallas_ext = self.extended and mode == "blocked"
         self._pallas = build_poisson_iter(
             grid.nx, grid.ny, grid.nz, grid.dx, grid.dy, grid.dz,
             grid.dtau, grid.damp, bc, dtype=self.dtype,
-            interpret=interpret, mode=mode)
+            interpret=interpret, mode=mode, extended=self._pallas_ext)
 
     def step_sharded_jit(self, mesh):
         """Jitted step over a 3D device mesh (global-view SPMD path).
@@ -171,11 +238,15 @@ class ChorinSolver:
             vx = jnp.broadcast_to(
                 jnp.asarray(prof, dtype=self.dtype)[None, None, :],
                 grid.shape_vx)
-            pr_prof = -(zc - grid.lz / 2) * rho * g
-            pr = jnp.broadcast_to(
-                jnp.asarray(pr_prof, dtype=self.dtype)[None, None, :],
-                grid.shape_c)
-            st = st.replace(vx=vx, pr=pr)
+            if self.pressure_split:
+                # the hydrostatic init IS P_static: p' starts at exactly 0
+                st = st.replace(vx=vx)
+            else:
+                pr_prof = -(zc - grid.lz / 2) * rho * g
+                pr = jnp.broadcast_to(
+                    jnp.asarray(pr_prof, dtype=self.dtype)[None, None, :],
+                    grid.shape_c)
+                st = st.replace(vx=vx, pr=pr)
         return st
 
     # ---- Poisson solve ----
@@ -188,7 +259,8 @@ class ChorinSolver:
         if self.cfg.numerics.poisson_backend == "fdm":
             return self._poisson_solve_fdm(pr, dprdtau, divv,
                                            allow_pallas=allow_pallas)
-        if allow_pallas and self._pallas is not None:
+        if (allow_pallas and self._pallas is not None
+                and (not self.extended or self._pallas_ext)):
             return self._poisson_solve_pallas(pr, dprdtau, divv)
         if not self.cfg.compat:
             return self._poisson_solve_jnp_folded(pr, dprdtau, divv)
@@ -303,6 +375,14 @@ class ChorinSolver:
         azm = azm[None, None, :]; azp = azp[None, None, :]
 
         rhs = ((rho / dt) * divv[1:-1, 1:-1, 1:-1]).astype(dtype)
+        if self.pressure_split:
+            # affine z BC (bc.affine_grad_z): the dropped boundary-neighbor
+            # term is the CONSTANT -+rho*g*dz, hoisted into the RHS
+            rho_g_dz = phys.rho * phys.g * grid.dz
+            z_add = np.zeros(nz - 2)
+            z_add[0] = -rho_g_dz / dz / dz
+            z_add[-1] = +rho_g_dz / dz / dz
+            rhs = rhs - jnp.asarray(z_add, dtype)[None, None, :]
 
         def lap_folded(pr):
             pc = pr[1:-1, 1:-1, 1:-1]
@@ -313,59 +393,76 @@ class ChorinSolver:
                     + (azp * (pr[1:-1, 1:-1, 2:] - pc)
                        + azm * (pr[1:-1, 1:-1, :-2] - pc)) / dz / dz)
 
-        def folded_iter(_, carry):
-            pr, dpr = carry
-            resid = lap_folded(pr) - rhs
-            dpr = dpr.at[1:-1, 1:-1, 1:-1].set(
-                dpr[1:-1, 1:-1, 1:-1] * (1.0 - damp) + dtau * resid)
-            pr = pr + dtau * dpr
-            return (pr, dpr)
+        extended = self.extended and dtype == jnp.float32
 
-        def run_folded(pr, dpr, n):
-            return lax.fori_loop(0, n, folded_iter, (pr, dpr))
+        if extended:
+            # Double-single iterate (NumericsConfig.extended_precision):
+            # pr is carried as a (hi, lo) float32 pair. lap(hi)+lap(lo) ==
+            # lap(hi+lo) in real arithmetic, and f32-evaluating lap(hi) is
+            # nearly exact (neighbor differences of close values round to
+            # ~eps*|difference|, not eps*|value|) — so the pair's residual
+            # is free of the stored field's representation noise.
+            def two_sum(a, b):
+                s = a + b
+                ap = s - b
+                bp = s - ap
+                return s, (a - ap) + (b - bp)
 
-        def residual_err(pr):
-            rp = lap_folded(pr) - rhs
-            return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
+            def folded_iter(_, carry):
+                hi, lo, dpr = carry
+                resid = (lap_folded(hi) - rhs) + lap_folded(lo)
+                dpr = dpr.at[1:-1, 1:-1, 1:-1].set(
+                    dpr[1:-1, 1:-1, 1:-1] * (1.0 - damp) + dtau * resid)
+                hi, lo = two_sum(hi, lo + dtau * dpr)
+                return (hi, lo, dpr)
+
+            def run_folded(prc, dpr, n):
+                hi, lo, dpr = lax.fori_loop(0, n, folded_iter,
+                                            (*prc, dpr))
+                return (hi, lo), dpr
+
+            def residual_err(prc):
+                hi, lo = prc
+                rp = (lap_folded(hi) - rhs) + lap_folded(lo)
+                return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
+        else:
+            def folded_iter(_, carry):
+                pr, dpr = carry
+                resid = lap_folded(pr) - rhs
+                dpr = dpr.at[1:-1, 1:-1, 1:-1].set(
+                    dpr[1:-1, 1:-1, 1:-1] * (1.0 - damp) + dtau * resid)
+                pr = pr + dtau * dpr
+                return (pr, dpr)
+
+            def run_folded(pr, dpr, n):
+                return lax.fori_loop(0, n, folded_iter, (pr, dpr))
+
+            def residual_err(pr):
+                rp = lap_folded(pr) - rhs
+                return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
 
         # iteration 1 in exact form (reads incoming boundary planes),
         # then freeze the Dirichlet planes via set_bc_pr.
         pr, dprdtau = ph.poisson_iter(pr, dprdtau, divv, rho, dt, dtau,
                                       damp, dx, dy, dz)
         pr = self.set_bc_pr(pr)
+        prc = (pr, jnp.zeros_like(pr)) if extended else pr
 
-        big = jnp.asarray(1e30, dtype=dtype)
-
-        def cond(stv):
-            _, _, k, err, _ = stv
-            return (k < nchunks) & (err >= eps_it) & jnp.isfinite(err)
-
-        def body(stv):
-            pr, dpr, k, err, hist = stv
+        def run_iters(prc, dpr, n, k):
             # chunk 0 already ran its first iteration in exact form
-            pr, dpr = lax.cond(
+            return lax.cond(
                 k == 0,
-                lambda c: run_folded(*c, grid.nchk - 1),
-                lambda c: run_folded(*c, grid.nchk),
-                (pr, dpr))
-            err = residual_err(pr)
-            hist = hist.at[k].set(err)
-            return (pr, dpr, k + 1, err, hist)
+                lambda c: run_folded(*c, n - 1),
+                lambda c: run_folded(*c, n),
+                (prc, dpr))
 
-        hist0 = jnp.full((max(nchunks, 1),), jnp.nan, dtype=dtype)
-        pr, dprdtau, k, err, hist = lax.while_loop(
-            cond, body, (pr, dprdtau, jnp.int32(0), big, hist0))
-        iters = k * grid.nchk
-        if rem > 0:
-            do_tail = (k >= nchunks) & (err >= eps_it) & jnp.isfinite(err)
-            pr, dprdtau = lax.cond(
-                do_tail,
-                lambda c: run_folded(*c, rem),
-                lambda c: c,
-                (pr, dprdtau))
-            iters = iters + jnp.where(do_tail, rem, 0)
+        prc, dprdtau, iters, err, hist = pt_loop(
+            run_iters, residual_err, prc, dprdtau, nchunks, grid.nchk, rem,
+            eps_it, dtype, stall=self._stall)
         # materialize the zero-gradient boundary planes of the final state
-        pr = self.set_bc_pr(pr)
+        # (extended: hi absorbs lo through the two_sum renormalization, so
+        # hi IS the correctly-rounded f32 field)
+        pr = self.set_bc_pr(prc[0] if extended else prc)
         return pr, dprdtau, StepStats(iters=iters, err=err, err_hist=hist)
 
     def _poisson_solve_pallas(self, pr, dprdtau, divv, max_chunks=None):
@@ -383,6 +480,35 @@ class ChorinSolver:
         iter_fn, pack, unpack = self._pallas
 
         rhs3d = (rho / dt) * divv
+        if self._pallas_ext:
+            from ..ops import stencil as stc
+            hi_f, lo_f, dpr_f, rhs_f = pack(pr, dprdtau, rhs3d)
+            prc0 = (hi_f, lo_f)
+
+            def run_iters(prc, dpr_f, n):
+                hi, lo, dpr_f = lax.fori_loop(
+                    0, n, lambda _, c: iter_fn(*c, rhs_f), (*prc, dpr_f))
+                return (hi, lo), dpr_f
+
+            def residual_err(prc):
+                hi3, lo3, _ = unpack(*prc, prc[0])
+                # difference-first lap: the d2 form's eps*|hi| evaluation
+                # noise would floor the metric above eps_it
+                rp = ((stc.laplacian_inner_ds(hi3, grid.dx, grid.dy, grid.dz)
+                       - (rho / dt) * stc.inn(divv))
+                      + stc.laplacian_inner_ds(lo3, grid.dx, grid.dy,
+                                               grid.dz))
+                return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
+
+            prc, dpr_f, iters, err, hist = pt_loop(
+                lambda p, d, n, k: run_iters(p, d, n), residual_err,
+                prc0, dpr_f, nchunks, grid.nchk, rem, eps_it, self.dtype,
+                stall=self._stall)
+            # hi is the correctly-rounded f32 field (two_sum renormalized)
+            pr3d, _, dpr3d = unpack(*prc, dpr_f)
+            return pr3d, dpr3d, StepStats(iters=iters, err=err,
+                                          err_hist=hist)
+
         pr_pad, dpr_f, rhs_f = pack(pr, dprdtau, rhs3d)
 
         def run_iters(pr_pad, dpr_f, n):
@@ -395,31 +521,10 @@ class ChorinSolver:
                                      grid.dx, grid.dy, grid.dz)
             return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
 
-        big = jnp.asarray(1e30, dtype=self.dtype)
-
-        def cond(stv):
-            _, _, k, err, _ = stv
-            return (k < nchunks) & (err >= eps_it) & jnp.isfinite(err)
-
-        def body(stv):
-            pr_pad, dpr_f, k, err, hist = stv
-            pr_pad, dpr_f = run_iters(pr_pad, dpr_f, grid.nchk)
-            err = residual_err(pr_pad)
-            hist = hist.at[k].set(err)
-            return (pr_pad, dpr_f, k + 1, err, hist)
-
-        hist0 = jnp.full((max(nchunks, 1),), jnp.nan, dtype=self.dtype)
-        pr_pad, dpr_f, k, err, hist = lax.while_loop(
-            cond, body, (pr_pad, dpr_f, jnp.int32(0), big, hist0))
-        iters = k * grid.nchk
-        if rem > 0:
-            do_tail = (k >= nchunks) & (err >= eps_it) & jnp.isfinite(err)
-            pr_pad, dpr_f = lax.cond(
-                do_tail,
-                lambda args: run_iters(*args, rem),
-                lambda args: args,
-                (pr_pad, dpr_f))
-            iters = iters + jnp.where(do_tail, rem, 0)
+        pr_pad, dpr_f, iters, err, hist = pt_loop(
+            lambda p, d, n, k: run_iters(p, d, n), residual_err,
+            pr_pad, dpr_f, nchunks, grid.nchk, rem, eps_it, self.dtype,
+            stall=self._stall)
         pr, dprdtau = unpack(pr_pad, dpr_f)
         return pr, dprdtau, StepStats(iters=iters, err=err, err_hist=hist)
 
@@ -448,35 +553,12 @@ class ChorinSolver:
             rp = ph.poisson_residual(pr, divv, rho, dt, dx, dy, dz)
             return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
 
-        big = jnp.asarray(1e30, dtype=self.dtype)  # finite "not checked yet"
-
-        def cond(stv):
-            _, _, k, err, _ = stv
-            return (k < nchunks) & (err >= eps_it) & jnp.isfinite(err)
-
-        def body(stv):
-            pr, dpr, k, err, hist = stv
-            pr, dpr = run_iters(pr, dpr, grid.nchk)
-            err = residual_err(pr)
-            hist = hist.at[k].set(err)
-            return (pr, dpr, k + 1, err, hist)
-
-        hist0 = jnp.full((max(nchunks, 1),), jnp.nan, dtype=self.dtype)
-        pr, dprdtau, k, err, hist = lax.while_loop(
-            cond, body, (pr, dprdtau, jnp.int32(0), big, hist0))
-
-        iters = k * grid.nchk
-        if rem > 0:
-            # The reference's trailing partial chunk runs only if the loop
-            # reached niter without converging (gpu.jl:126-137).
-            do_tail = (k >= nchunks) & (err >= eps_it) & jnp.isfinite(err)
-            pr, dprdtau = lax.cond(
-                do_tail,
-                lambda args: run_iters(*args, rem),
-                lambda args: args,
-                (pr, dprdtau))
-            iters = iters + jnp.where(do_tail, rem, 0)
-
+        # the exact backend serves the compat path: reference loop
+        # semantics exactly, no stall exit
+        pr, dprdtau, iters, err, hist = pt_loop(
+            lambda p, d, n, k: run_iters(p, d, n), residual_err,
+            pr, dprdtau, nchunks, grid.nchk, rem, eps_it, self.dtype,
+            stall=None)
         return pr, dprdtau, StepStats(iters=iters, err=err, err_hist=hist)
 
     def step_shard_map_jit(self, mesh):
@@ -489,7 +571,8 @@ class ChorinSolver:
         solve = build_poisson_shard_map(
             mesh, self.grid, self.cfg.physics, self.cfg.numerics.eps_it,
             self.cfg.variant, self.dtype,
-            halo_width=self.cfg.parallel.halo)
+            halo_width=self.cfg.parallel.halo,
+            pressure_split=self.pressure_split, stall=self._stall)
         rho, dt = self.cfg.physics.rho, self.grid.dt
 
         def poisson(pr, dprdtau, divv):
@@ -519,9 +602,14 @@ class ChorinSolver:
         dt = grid.dt
         dx, dy, dz = grid.dx, grid.dy, grid.dz
 
+        # Under the hydrostatic split the predictor's -rho*g body force
+        # cancels exactly against d/dz P_static in the corrector (both are
+        # dt*g per step); folding the cancellation out keeps it exact in
+        # float32 instead of round-tripping through two large terms.
+        g_eff = 0.0 if self.pressure_split else g
         taus = ph.update_tau(state.vx, state.vy, state.vz, mu, dx, dy, dz)
         vx, vy, vz = ph.predict_v(state.vx, state.vy, state.vz, *taus,
-                                  rho, g, dt, dx, dy, dz)
+                                  rho, g_eff, dt, dx, dy, dz)
         c, vx, vy, vz = apply_cylinder(state.c, vx, vy, vz, self.masks)
         divv = ph.update_divv(vx, vy, vz, dx, dy, dz)
         pr, dprdtau, stats = poisson_fn(state.pr, state.dprdtau, divv)

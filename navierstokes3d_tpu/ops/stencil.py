@@ -93,6 +93,18 @@ def laplacian_inner(a, dx, dy, dz):
             + d2_zi(a) / dz / dz)
 
 
+def laplacian_inner_ds(a, dx, dy, dz):
+    """laplacian_inner in difference-first form ((a+ - ac) + (a- - ac)):
+    evaluation error ~eps*|neighbor difference| instead of eps*|a| — used
+    by the extended-precision residual, where eps*|a| noise would mask the
+    (hi,lo) pair's extra bits. NOT reference-rounding-parity (use
+    laplacian_inner for golden comparisons)."""
+    c = a[1:-1, 1:-1, 1:-1]
+    return (((a[2:, 1:-1, 1:-1] - c) + (a[:-2, 1:-1, 1:-1] - c)) / dx / dx
+            + ((a[1:-1, 2:, 1:-1] - c) + (a[1:-1, :-2, 1:-1] - c)) / dy / dy
+            + ((a[1:-1, 1:-1, 2:] - c) + (a[1:-1, 1:-1, :-2] - c)) / dz / dz)
+
+
 def divergence(vx, vy, vz, dx, dy, dz):
     """Staggered divergence at cell centers: the @∇V macro
     (NavierStokes3D_gpu.jl:175). out (nx, ny, nz)."""

@@ -23,6 +23,8 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
+from ..ptloop import pt_loop
+
 AXES = ("x", "y", "z")
 
 
@@ -67,11 +69,13 @@ def _device_pos(axis_names=AXES):
     return idx, num
 
 
-def _bc_pr_local(pr, variant: str, xlo_plane, xhi_plane):
+def _bc_pr_local(pr, variant: str, xlo_plane, xhi_plane,
+                 z_lo_add=0.0, z_hi_add=0.0):
     """The reference's set_bc_Pr! on a local block, guarded by global
     position exactly as the multi script guards by rank
     (multi_gpu.jl:175-184). Requires local block >= 2 cells per sharded
-    axis (copy source planes are then always owned)."""
+    axis (copy source planes are then always owned). z_*_add are the
+    affine offsets of the split-pressure bc_z! (bc.affine_grad_z)."""
     (ix, iy, iz), (npx, npy, npz) = _device_pos()
     if variant == "multi":
         pr = jnp.where(ix == 0, pr.at[0].set(pr[1]), pr)
@@ -84,14 +88,17 @@ def _bc_pr_local(pr, variant: str, xlo_plane, xhi_plane):
     else:  # gpu variant: bc_y, bc_z, hydrostatic x planes (gpu.jl:281-286)
         pr = jnp.where(iy == 0, pr.at[:, 0].set(pr[:, 1]), pr)
         pr = jnp.where(iy == npy - 1, pr.at[:, -1].set(pr[:, -2]), pr)
-        pr = jnp.where(iz == 0, pr.at[:, :, 0].set(pr[:, :, 1]), pr)
-        pr = jnp.where(iz == npz - 1, pr.at[:, :, -1].set(pr[:, :, -2]), pr)
+        pr = jnp.where(iz == 0,
+                       pr.at[:, :, 0].set(pr[:, :, 1] + z_lo_add), pr)
+        pr = jnp.where(iz == npz - 1,
+                       pr.at[:, :, -1].set(pr[:, :, -2] + z_hi_add), pr)
         pr = jnp.where(ix == 0, pr.at[0].set(xlo_plane), pr)
         pr = jnp.where(ix == npx - 1, pr.at[-1].set(xhi_plane), pr)
     return pr
 
 
-def _bc_pr_local_padded(pr, variant: str, xlo_plane, xhi_plane, m: int):
+def _bc_pr_local_padded(pr, variant: str, xlo_plane, xhi_plane, m: int,
+                        z_lo_add=0.0, z_hi_add=0.0):
     """_bc_pr_local generalized to m-deep halo-padded blocks: global
     boundary planes sit at padded index m / -(1+m) on edge devices (a
     halo never contains a foreign BC plane for m <= block-1)."""
@@ -108,15 +115,19 @@ def _bc_pr_local_padded(pr, variant: str, xlo_plane, xhi_plane, m: int):
     else:
         pr = jnp.where(iy == 0, pr.at[:, lo].set(pr[:, lo + 1]), pr)
         pr = jnp.where(iy == npy - 1, pr.at[:, hi].set(pr[:, hi - 1]), pr)
-        pr = jnp.where(iz == 0, pr.at[:, :, lo].set(pr[:, :, lo + 1]), pr)
-        pr = jnp.where(iz == npz - 1, pr.at[:, :, hi].set(pr[:, :, hi - 1]), pr)
+        pr = jnp.where(iz == 0,
+                       pr.at[:, :, lo].set(pr[:, :, lo + 1] + z_lo_add), pr)
+        pr = jnp.where(iz == npz - 1,
+                       pr.at[:, :, hi].set(pr[:, :, hi - 1] + z_hi_add), pr)
         pr = jnp.where(ix == 0, pr.at[lo].set(xlo_plane), pr)
         pr = jnp.where(ix == npx - 1, pr.at[hi].set(xhi_plane), pr)
     return pr
 
 
 def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
-                            variant: str, dtype, halo_width: int = 1):
+                            variant: str, dtype, halo_width: int = 1,
+                            pressure_split: bool = False,
+                            stall=None):
     """Distributed pseudo-transient Poisson solve: the ENTIRE chunked
     while_loop runs inside one shard_map — per iteration: 6 face
     ppermutes (Pr halo) + local fused stencil + position-guarded BCs;
@@ -130,6 +141,11 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
     the same arithmetic as k=1 (identical up to compiler FMA scheduling);
     the cost is (k-1) redundant halo-cell updates per side, the win is
     1/k as many messages.
+
+    pressure_split: the fields are p' = Pr - P_static(z) (gpu variant;
+    NumericsConfig.pressure_split) — x Dirichlet planes become constants
+    and bc_z! gains affine offsets. stall: (ratio, checks) plateau exit
+    (ptloop.pt_loop) or None.
 
     Returns solve(pr, dprdtau, rhs3d) -> (pr, dprdtau, iters, err, hist)
     operating on globally-sharded arrays.
@@ -154,8 +170,15 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
             "(a wider halo would contain foreign BC planes)")
 
     # gpu-variant hydrostatic x planes, as local (by,bz) tiles per device:
-    # value depends only on global z (gpu.jl:257-261).
-    if variant == "gpu":
+    # value depends only on global z (gpu.jl:257-261). Under the split the
+    # planes are constants (0 here, +100 added at use) and bc_z! carries
+    # affine offsets instead.
+    z_lo_add = z_hi_add = 0.0
+    if variant == "gpu" and pressure_split:
+        prof_full = np.zeros((ny, nz), dtype)
+        rho_g_dz = phys.rho * phys.g * dz
+        z_lo_add, z_hi_add = -rho_g_dz, +rho_g_dz
+    elif variant == "gpu":
         izg = np.arange(1, nz + 1, dtype=np.float64)
         prof = phys.rho * phys.g * (nz - izg + 0.5) * dz
         prof_full = np.broadcast_to(prof[None, :], (ny, nz)).astype(dtype)
@@ -185,7 +208,7 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
         dpr = jnp.where(mask, dpr * (1.0 - damp) + dtau * resid,
                         jnp.zeros_like(dpr))
         pr = pr + dtau * dpr
-        pr = _bc_pr_local(pr, variant, xlo, xhi)
+        pr = _bc_pr_local(pr, variant, xlo, xhi, z_lo_add, z_hi_add)
         return pr, dpr
 
     def run_batch(pr, dpr, rhs, m, prof_pad):
@@ -212,7 +235,8 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
                 jnp.zeros_like(resid))
             dpp = dpp.at[1:-1, 1:-1, 1:-1].set(inner)
             prp = prp + dtau * dpp
-            prp = _bc_pr_local_padded(prp, variant, xlo_p, xhi_p, m)
+            prp = _bc_pr_local_padded(prp, variant, xlo_p, xhi_p, m,
+                                      z_lo_add, z_hi_add)
         sl = slice(m, -m)
         return prp[sl, sl, sl], dpp[sl, sl, sl]
 
@@ -253,29 +277,10 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
                 pr, dpr = run_batch(pr, dpr, rhs, rem_b, prof_pad)
             return pr, dpr
 
-        big = jnp.asarray(1e30, dtype)
-
-        def cond(st):
-            _, _, kc, err, _ = st
-            return (kc < nchunks) & (err >= eps_it) & jnp.isfinite(err)
-
-        def body(st):
-            pr, dpr, kc, err, hist = st
-            pr, dpr = run_iters(pr, dpr, nchk)
-            err = residual_local(pr, rhs, mask) * err_scale
-            hist = hist.at[kc].set(err)
-            return (pr, dpr, kc + 1, err, hist)
-
-        hist0 = jnp.full((max(nchunks, 1),), jnp.nan, dtype)
-        pr, dpr, kc, err, hist = lax.while_loop(
-            cond, body, (pr, dpr, jnp.int32(0), big, hist0))
-        iters = kc * nchk
-        if rem > 0:
-            do_tail = (kc >= nchunks) & (err >= eps_it) & jnp.isfinite(err)
-            pr, dpr = lax.cond(do_tail,
-                               lambda a: run_iters(*a, rem),
-                               lambda a: a, (pr, dpr))
-            iters = iters + jnp.where(do_tail, rem, 0)
+        pr, dpr, iters, err, hist = pt_loop(
+            lambda p, d, n, kc: run_iters(p, d, n),
+            lambda p: residual_local(p, rhs, mask) * err_scale,
+            pr, dpr, nchunks, nchk, rem, eps_it, dtype, stall=stall)
         return pr, dpr, iters, err, hist
 
     spec = P(*AXES)

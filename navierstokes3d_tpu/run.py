@@ -104,7 +104,9 @@ def main(argv=None):
     if args.resume:
         ck = checkpoint.latest_checkpoint(args.ckpt_dir)
         if ck is not None:
-            state, it0 = checkpoint.load_checkpoint(ck, dtype=cfg.numerics.jnp_dtype)
+            state, it0 = checkpoint.load_checkpoint(
+                ck, dtype=cfg.numerics.jnp_dtype,
+                expect_pressure_split=solver.pressure_split)
             if not args.quiet:
                 print(f"resumed from {ck} at step {it0}", file=sys.stderr)
         else:
@@ -123,11 +125,12 @@ def main(argv=None):
 
     def dump_save(it, state):
         nonlocal isave
-        c, pr, vx, vy, vz = ns.gather_inner(state)
+        c, pr, vx, vy, vz = solver.gather_inner(state)
         binio.save_fields(args.out_dir,
                           isave, {"C": c, "Pr": pr, "Vx": vx,
                                   "Vy": vy, "Vz": vz})
-        matio.save_step_mat(args.out_dir, it, np.asarray(state.pr),
+        matio.save_step_mat(args.out_dir, it,
+                            np.asarray(solver.full_pressure(state.pr)),
                             np.asarray(state.vx), np.asarray(state.vy),
                             np.asarray(state.vz), np.asarray(state.c),
                             g.dx, g.dy, g.dz)
@@ -135,7 +138,7 @@ def main(argv=None):
 
     def dump_vis(it, state, stats=None):
         nonlocal ivis
-        c, pr, vx, vy, vz = ns.gather_inner(state)
+        c, pr, vx, vy, vz = solver.gather_inner(state)
         fields = {"C": c, "Pr": pr, "Vx": vx, "Vy": vy, "Vz": vz}
         viz.save_frame(args.viz_dir, ivis, g, fields, t=it * g.dt)
         if stats is not None:
@@ -181,7 +184,8 @@ def main(argv=None):
             dump_vis(it, state, stats)
         if args.checkpoint_every and it % args.checkpoint_every == 0:
             checkpoint.save_checkpoint(
-                os.path.join(args.ckpt_dir, f"ckpt_{it:07d}.npz"), state, it)
+                os.path.join(args.ckpt_dir, f"ckpt_{it:07d}.npz"), state, it,
+                pressure_split=solver.pressure_split)
 
     summary = timer.summary()
     print(json.dumps(summary))

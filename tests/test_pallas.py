@@ -22,8 +22,13 @@ RNG = np.random.default_rng(3)
 
 
 def _setup(variant, nx=12):
+    import dataclasses
     preset = ns.preset_multi if variant == "multi" else ns.preset_gpu
     cfg = preset(nx=nx, nt=1, compat=False, dtype="float32")
+    # this file validates the UNSPLIT kernel formulation; the split +
+    # extended pair have their own suite (test_precision.py)
+    cfg = cfg.replace(numerics=dataclasses.replace(
+        cfg.numerics, pressure_split=False, extended_precision=False))
     solver = ns.ChorinSolver(cfg.replace(use_pallas=False))
     g = solver.grid
     pr = RNG.standard_normal(g.shape_c)

@@ -1,0 +1,194 @@
+"""Hydrostatic pressure split + extended (double-single) precision +
+stall exit.
+
+The reference runs Float64 end-to-end and its Poisson loop exits at
+err < 1e-3 (NavierStokes3D_gpu.jl:6,135). In plain float32 that criterion
+is unreachable for the gpu preset: the stored pressure's representation
+noise alone puts the residual metric above 1e-3 at 63-class grids and far
+above it at the 255 showcase grid. The split removes the O(rho*g*lz)
+hydrostatic offset from the stored field (algebraically exact) and the
+double-single pair removes the remaining representation noise from the
+iterate, so float32 runs converge like the Float64 reference.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import navierstokes3d_tpu as ns
+from navierstokes3d_tpu.ops import physics as ph
+from navierstokes3d_tpu.ops.cylinder import apply_cylinder
+
+
+def _num(cfg, **kw):
+    return cfg.replace(numerics=dataclasses.replace(cfg.numerics, **kw))
+
+
+def _random_state(solver, seed=0, vscale=0.7):
+    """Random O(1) velocities keep semi-Lagrangian departure points away
+    from floor() discontinuities (see test_step_oracle.py) so trajectories
+    are comparable; dprdtau ring is zeroed (class invariant)."""
+    from navierstokes3d_tpu.state import FlowState
+    rng = np.random.default_rng(seed)
+    g = solver.grid
+    f = lambda s, sc=vscale: jnp.asarray(rng.uniform(-sc, sc, s))
+    st = FlowState(
+        pr=f(g.shape_c, 50.0), vx=f(g.shape_vx), vy=f(g.shape_vy),
+        vz=f(g.shape_vz), c=f(g.shape_c, 1.0), dprdtau=f(g.shape_c, 0.1))
+    return st.replace(dprdtau=st.dprdtau.at[0].set(0.).at[-1].set(0.)
+                      .at[:, 0].set(0.).at[:, -1].set(0.)
+                      .at[:, :, 0].set(0.).at[:, :, -1].set(0.))
+
+
+def test_pressure_split_f64_equivalence():
+    """The split is algebraically identical: f64 trajectories with and
+    without it agree to accumulated round-off, starting from a common
+    random developed-like state. (nx=30 keeps the PT iteration inside its
+    CFL stability bound: dy=dz=dx exactly.)"""
+    outs = {}
+    for split in (False, True):
+        cfg = _num(ns.preset_gpu(nx=30, nt=2, compat=False, dtype="float64"),
+                   pressure_split=split)
+        s = ns.ChorinSolver(cfg)
+        assert s.pressure_split == split
+        st = _random_state(s)
+        if split:  # state stores p' = Pr - P_static(z)
+            st = st.replace(pr=st.pr - jnp.asarray(
+                s._p_static, st.pr.dtype)[None, None, :])
+        for _ in range(2):
+            st, stats = s.step_jit(st)
+        outs[split] = (s, st, int(stats.iters))
+    s0, st0, i0 = outs[False]
+    s1, st1, i1 = outs[True]
+    assert i0 == i1
+    pr1 = np.asarray(s1.full_pressure(st1.pr))
+    pr0 = np.asarray(st0.pr)
+    scale = np.abs(pr0).max()
+    np.testing.assert_allclose(pr1 / scale, pr0 / scale, rtol=0, atol=1e-9)
+    for f in ("vx", "vy", "vz", "c"):
+        a = np.asarray(getattr(st0, f))
+        b = np.asarray(getattr(st1, f))
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-9, err_msg=f)
+
+
+def test_extended_f32_converges_like_f64():
+    """gpu preset in float32: without split+extended the Poisson loop can
+    only reach its noise floor (~30x the tolerance); with them it exits
+    converged with the same iteration counts as the f64 run."""
+    iters = {}
+    for dtype in ("float64", "float32"):
+        cfg = ns.preset_gpu(nx=40, nt=2, compat=False, dtype=dtype)
+        s = ns.ChorinSolver(cfg)
+        if dtype == "float32":
+            assert s.pressure_split and s.extended
+        st = s.init_state()
+        errs, its = [], []
+        for _ in range(2):
+            st, stats = s.step_jit(st)
+            errs.append(float(stats.err))
+            its.append(int(stats.iters))
+        iters[dtype] = (its, errs)
+        assert all(e < 1e-3 for e in errs), (dtype, errs)
+        assert all(i < s.grid.niter for i in its), (dtype, its)
+    # same chunk granularity: identical iteration counts
+    assert iters["float32"][0] == iters["float64"][0]
+
+
+def test_extended_pallas_matches_folded():
+    """The extended (double-single) Pallas kernel (interpret mode) and the
+    extended folded jnp backend run the same solve: same iteration count,
+    same err to f32 noise, close fields, from identical smooth inputs."""
+    cfg = ns.preset_gpu(nx=16, nt=1, compat=False, dtype="float32",
+                        use_pallas=True)
+    s = ns.ChorinSolver(cfg)
+    assert s._pallas is not None and s._pallas_ext
+    g = s.grid
+    rng = np.random.default_rng(3)
+
+    def smooth(shape, scale):
+        a = rng.standard_normal(shape)
+        for ax in range(3):
+            a = 0.5 * a + 0.25 * (np.roll(a, 1, ax) + np.roll(a, -1, ax))
+        return jnp.asarray(a * scale, jnp.float32)
+
+    pr = smooth(g.shape_c, 200.0)
+    dpr = jnp.zeros(g.shape_c, jnp.float32)
+    divv = smooth(g.shape_c, 0.05)
+
+    p1, d1, s1 = s._poisson_solve_pallas(pr, dpr, divv)
+    p2, d2, s2 = s._poisson_solve_jnp_folded(pr, dpr, divv)
+    assert int(s1.iters) == int(s2.iters)
+    np.testing.assert_allclose(float(s1.err), float(s2.err),
+                               rtol=1e-3, atol=1e-6)
+    # fields agree to accumulated f32 op-order rounding over hundreds of
+    # iterations (~2e-4 of scale); a semantic bug (wrong BC/mask) gives O(1)
+    scale = float(jnp.abs(p2).max())
+    np.testing.assert_allclose(np.asarray(p1) / scale,
+                               np.asarray(p2) / scale, rtol=0, atol=1e-3)
+
+
+def test_stall_exit_unit():
+    """pt_loop's plateau exit: a residual sequence that stops improving
+    exits after `checks` consecutive stalled checks; a sequence decaying
+    faster than the ratio never trips it."""
+    from navierstokes3d_tpu.ptloop import pt_loop
+
+    def make(seq):
+        seq = jnp.asarray(seq, jnp.float32)
+
+        def run_iters(p, d, n, k):
+            return p + 1, d
+
+        def residual_err(p):
+            # p counts completed chunks (starts at 0, +1 per chunk)
+            return seq[jnp.clip(p.astype(jnp.int32) - 1, 0, len(seq) - 1)]
+
+        return run_iters, residual_err
+
+    nchunks, nchk = 10, 5
+    # plateau after 2 decaying chunks -> stall at check 2+3=5 chunks
+    run, res = make([1.0, 0.5, 0.49, 0.485, 0.48, 0.475, 0.47, 0.465,
+                     0.46, 0.455])
+    p, d, iters, err, hist = pt_loop(
+        run, res, jnp.zeros(()), jnp.zeros(()), nchunks, nchk, 0,
+        1e-3, jnp.float32, stall=(0.9, 3))
+    assert int(iters) == 5 * nchk  # 2 good + 3 stalled checks
+
+    # steadily-decaying (ratio 0.886 < 0.9 resets the counter): no stall
+    run, res = make([1.0 * 0.886 ** k for k in range(10)])
+    p, d, iters, err, hist = pt_loop(
+        run, res, jnp.zeros(()), jnp.zeros(()), nchunks, nchk, 0,
+        1e-3, jnp.float32, stall=(0.9, 3))
+    assert int(iters) == nchunks * nchk  # full budget, never stalled
+
+
+def test_checkpoint_split_mismatch(tmp_path):
+    from navierstokes3d_tpu.io import checkpoint
+    from navierstokes3d_tpu.state import FlowState
+    cfg = ns.preset_gpu(nx=16, nt=1, compat=False, dtype="float32")
+    s = ns.ChorinSolver(cfg)
+    st = s.init_state()
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save_checkpoint(path, st, 3, pressure_split=True)
+    st2, it = checkpoint.load_checkpoint(path, expect_pressure_split=True)
+    assert it == 3
+    with pytest.raises(ValueError, match="pressure_split"):
+        checkpoint.load_checkpoint(path, expect_pressure_split=False)
+
+
+def test_split_io_reconstruction():
+    """gather_inner / full_pressure reconstruct the physical pressure:
+    a split solver's initial state must report the hydrostatic profile."""
+    cfg = ns.preset_gpu(nx=16, nt=1, compat=False, dtype="float32")
+    s = ns.ChorinSolver(cfg)
+    st = s.init_state()
+    assert float(jnp.abs(st.pr).max()) == 0.0  # p' starts at exactly 0
+    pr_full = np.asarray(s.full_pressure(st.pr))
+    g, phys = s.grid, cfg.physics
+    zc = g.zc()
+    expect = -(zc - g.lz / 2) * phys.rho * phys.g
+    np.testing.assert_allclose(pr_full[3, 4, :], expect, rtol=1e-6)
