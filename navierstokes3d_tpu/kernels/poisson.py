@@ -58,6 +58,28 @@ class PoissonBCSpec(NamedTuple):
     z_hi_add: float = 0.0             # additive offset on the z-hi copy
 
 
+def poisson_bc_spec(variant: str, grid, phys,
+                    pressure_split: bool = False) -> PoissonBCSpec:
+    """The configured variant's BC sequence as a kernel spec (shared by
+    the single-chip solver and the shard_map-composed distributed path)."""
+    nyz = grid.ny * grid.nz
+    if variant == "multi":
+        return PoissonBCSpec(zero_grad_x=True, xlo_plane=None,
+                             xhi_plane=np.zeros(nyz))
+    if pressure_split:
+        rho_g_dz = phys.rho * phys.g * grid.dz
+        return PoissonBCSpec(zero_grad_x=False,
+                             xlo_plane=np.full(nyz, 100.0),
+                             xhi_plane=np.zeros(nyz),
+                             z_lo_add=-rho_g_dz, z_hi_add=+rho_g_dz)
+    iz = np.arange(1, grid.nz + 1, dtype=np.float64)
+    prof = phys.rho * phys.g * (grid.nz - iz + 0.5) * grid.dz
+    prof2d = np.broadcast_to(prof[None, :], (grid.ny, grid.nz))
+    return PoissonBCSpec(zero_grad_x=False,
+                         xlo_plane=(prof2d + 100.0).ravel(),
+                         xhi_plane=prof2d.ravel())
+
+
 def choose_slab(nx: int, w: int, itemsize: int = 4,
                 vmem_budget: int = 10 * 2 ** 20) -> int:
     """Largest divisor of nx whose slab working set fits the VMEM budget
@@ -77,7 +99,8 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                        dz: float, dtau: float, damp: float,
                        bc: PoissonBCSpec, dtype=jnp.float32,
                        slab: Optional[int] = None, interpret: bool = False,
-                       mode: str = "blocked", extended: bool = False):
+                       mode: str = "blocked", extended: bool = False,
+                       local_rows: Optional[int] = None):
     """Returns (iter_fn, pack, unpack):
 
       pack(pr, dprdtau, rhs3d) -> flattened state tuple
@@ -93,6 +116,16 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
     and unpack takes (hi, lo, dpr). lap(hi)+lap(lo) cancels the stored
     field's representation noise so the residual can genuinely reach the
     reference's eps_it in float32.
+
+    local_rows (blocked mode): build the kernel for one shard of an
+    x-decomposed mesh (the shard_map-composed path, parallel/halo.py).
+    The shard owns `local_rows` x-rows; iter_fn gains trailing arguments
+    (halo_lo, halo_hi [, halo_lo2, halo_hi2 in extended mode], x_off):
+    (1, W) neighbor face rows exchanged via ppermute by the caller, and
+    the shard's global row offset (int32 (1,1), axis_index * local_rows).
+    All BC position guards key on the GLOBAL row index x_off + row, so
+    each device applies exactly its own piece of set_bc_Pr! — the Pallas
+    analog of the reference's rank-guarded BCs (multi_gpu.jl:164-181).
     """
     nyz = ny * nz
     W = ((nyz + 127) // 128) * 128
@@ -173,16 +206,17 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             q = jnp.where(gx == nx - 1, xhi_r[0:1, :], q)
         return q
 
-    def compute_slab(p_ext, d, r, gx, yzmask, jrow_r, zrow_r, xlo_r, xhi_r):
+    def compute_slab(p_ext, d, r, gx, live, yzmask, jrow_r, zrow_r,
+                     xlo_r, xhi_r):
         """Shared slab math: p_ext (B+2,W) old-Pr with x halo planes,
-        d/r (B,W), gx (B,1) global x-row indices of the slab (ghost rows
-        beyond nx-1 on a padded grid stay identically zero).
+        d/r (B,W), gx (B,1) global x-row indices of the slab, live (B,1)
+        rows that update (global interior AND locally owned; ghost rows
+        beyond the owned range on a padded grid stay identically zero).
         Returns (new_pr (B,W), new_dpr (B,W))."""
         lap, pc = lap_of_rows(p_ext)
         d_new = (d * decay + dtau_c * (lap - r)) * yzmask[0:1, :]
-        # interior-x rows only: ring (gx=0, nx-1) and ghosts (gx>=nx) keep
+        # interior-x rows only: ring (gx=0, nx-1) and ghosts keep
         # dPrdτ = 0; `where` also discards halo/pad garbage (even NaN).
-        live = jnp.logical_and(gx >= 1, gx <= nx - 2)
         d_new = jnp.where(live, d_new, jnp.zeros_like(d_new))
         q = pc + dtau_c * d_new
         # ---- boundary conditions on the updated pressure ----
@@ -190,8 +224,8 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                           zlo_hi, zhi_hi)
         return q, d_new
 
-    def compute_slab_ext(h_ext, l_ext, d, r, gx, yzmask, jrow_r, zrow_r,
-                         xlo_r, xhi_r):
+    def compute_slab_ext(h_ext, l_ext, d, r, gx, live, yzmask, jrow_r,
+                         zrow_r, xlo_r, xhi_r):
         """Double-single slab math: the pressure pair (hi, lo) satisfies
         lap(hi)+lap(lo) == lap(hi+lo) in real arithmetic; the update
         renormalizes through an exact two_sum. Dirichlet x planes write
@@ -200,7 +234,6 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         lap_l, lc = lap_of_rows(l_ext)
         resid = (lap_h - r) + lap_l
         d_new = (d * decay + dtau_c * resid) * yzmask[0:1, :]
-        live = jnp.logical_and(gx >= 1, gx <= nx - 2)
         d_new = jnp.where(live, d_new, jnp.zeros_like(d_new))
         u = lc + dtau_c * d_new
         s = hc + u                      # two_sum(hc, u): exact hi' + lo'
@@ -231,8 +264,12 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         transcendentals=0)
 
     if mode == "blocked":
+        # LR = rows this kernel instance owns (the whole grid, or one
+        # x-shard of it in distributed mode).
+        LR = local_rows if local_rows else nx
+        dist = local_rows is not None
         # Mosaic requires the sublane block dim to be a multiple of 8 (or
-        # the full array dim): pad x to NXP = ceil(nx/B)*B with inert ghost
+        # the full array dim): pad x to NXP = ceil(LR/B)*B with inert ghost
         # rows (proof of inertness: d_new is zeroed there, pr ghosts start
         # 0 and the update/BC selects never touch them).
         if slab is None:
@@ -240,14 +277,17 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             env_b = os.environ.get("NS3D_PALLAS_SLAB")
             if env_b:
                 B = int(env_b)
-        if not interpret and (B % 8 or nx % B == 1):
-            # nx % B == 1 would put the zero-grad hi source row (nx-2) in
+        if not interpret and (B % 8 or LR % B == 1):
+            # LR % B == 1 would put the zero-grad hi source row (nx-2) in
             # a different block than its target (nx-1)
-            raise ValueError(f"blocked mode needs slab%8==0 and nx%B!=1, "
-                             f"got B={B}, nx={nx}")
-        if interpret and nx % B == 1:
+            raise ValueError(f"blocked mode needs slab%8==0 and LR%B!=1, "
+                             f"got B={B}, LR={LR}")
+        if interpret and LR % B == 1:
             B += 1  # keep the BC source row in-slab for odd test shapes
-        NXP = ((nx + B - 1) // B) * B
+        # distributed shards need ghost row LR to exist: the caller writes
+        # the +x neighbor's halo face there each iteration, making it the
+        # +1 stencil neighbor of owned row LR-1 wherever it falls in a slab
+        NXP = ((LR + (1 if dist else 0) + B - 1) // B) * B
         S = NXP // B
 
         def row_block(off):
@@ -258,52 +298,95 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
 
         lane_row = pl.BlockSpec((1, W), (lambda s: (0, 0)),
                                 memory_space=pltpu.VMEM)
+        smem_scalar = pl.BlockSpec((1, 1), (lambda s: (0, 0)),
+                                   memory_space=pltpu.SMEM)
         yzmask_c, jrow_c, zrow_c = map(jnp.asarray, (yz_interior, jrow, zrow))
         xlo_c, xhi_c = jnp.asarray(xlo), jnp.asarray(xhi)
         slab_shape = jax.ShapeDtypeStruct((NXP, W), jdtype)
 
         def zpack(a):
-            return jnp.zeros((NXP, W), jdtype).at[:nx, :nyz].set(
-                a.reshape(nx, nyz).astype(jdtype))
+            return jnp.zeros((NXP, W), jdtype).at[:LR, :nyz].set(
+                a.reshape(LR, nyz).astype(jdtype))
 
         def unflat(a):
-            return a[:nx, :nyz].reshape(nx, ny, nz)
+            return a[:LR, :nyz].reshape(LR, ny, nz)
+
+        def rows_of(sidx, x_off):
+            """(gx, live): global row indices of slab sidx and the rows
+            that update — global interior AND locally owned (distributed
+            shards have ghost rows whose gx is a valid global index)."""
+            lrow = sidx * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+            gx = x_off + lrow
+            live = jnp.logical_and(gx >= 1, gx <= nx - 2)
+            if dist:
+                live = jnp.logical_and(live, lrow < LR)
+            return gx, live
+
+        def x_halo_rows(sidx, pm, pp, hlo):
+            """x halo: last row of previous block / first row of next
+            block. Distributed: the -x neighbor halo replaces slab 0's
+            lo row (row 0 is always a slab's first row); the +x halo is
+            NOT an operand — the caller writes it into ghost row LR, so
+            it is reached through the normal in-block/next-block neighbor
+            path wherever LR falls. At global edges the leftover garbage
+            only reaches masked ring/ghost rows."""
+            lo_row = pm[B - 1:B, :]
+            hi_row = pp[0:1, :]
+            if dist:
+                sidx_col = jnp.full((1, 1), sidx, jnp.int32)
+                lo_row = jnp.where(sidx_col == 0, hlo[0:1, :], lo_row)
+            return lo_row, hi_row
 
         if not extended:
-            def kernel(prm, prc, prp, dpr, rhs, yzmask, jrow_r, zrow_r,
-                       xlo_r, xhi_r, pr_out, dpr_out):
+            def kernel(*refs):
+                if dist:
+                    (prm, prc, prp, dpr, rhs, yzmask, jrow_r, zrow_r,
+                     xlo_r, xhi_r, hlo, xoff, pr_out, dpr_out) = refs
+                    x_off = xoff[0, 0]
+                else:
+                    (prm, prc, prp, dpr, rhs, yzmask, jrow_r, zrow_r,
+                     xlo_r, xhi_r, pr_out, dpr_out) = refs
+                    hlo = None
+                    x_off = 0
                 sidx = pl.program_id(0)
-                gx = sidx * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-                # x halo: last row of previous block / first row of next
-                # block. At the edges the clamped blocks supply garbage
-                # that only reaches masked ring/ghost rows.
-                p_ext = jnp.concatenate(
-                    [prm[B - 1:B, :], prc[:, :], prp[0:1, :]], axis=0)
+                gx, live = rows_of(sidx, x_off)
+                lo_row, hi_row = x_halo_rows(sidx, prm, prp, hlo)
+                p_ext = jnp.concatenate([lo_row, prc[:, :], hi_row], axis=0)
                 q, d_new = compute_slab(p_ext, dpr[:, :], rhs[:, :], gx,
-                                        yzmask, jrow_r, zrow_r, xlo_r, xhi_r)
+                                        live, yzmask, jrow_r, zrow_r,
+                                        xlo_r, xhi_r)
                 pr_out[:, :] = q
                 dpr_out[:, :] = d_new
 
+            in_specs = [
+                row_block(-1), row_block(0), row_block(+1),  # pr x3
+                row_block(0),                                 # dpr
+                row_block(0),                                 # rhs
+                lane_row, lane_row, lane_row, lane_row, lane_row,
+            ]
+            if dist:
+                in_specs += [lane_row, smem_scalar]
             pallas_iter = pl.pallas_call(
                 kernel,
                 grid=(S,),
                 out_shape=(slab_shape, slab_shape),
-                in_specs=[
-                    row_block(-1), row_block(0), row_block(+1),  # pr x3
-                    row_block(0),                                 # dpr
-                    row_block(0),                                 # rhs
-                    lane_row, lane_row, lane_row, lane_row, lane_row,
-                ],
+                in_specs=in_specs,
                 out_specs=(row_block(0), row_block(0)),
                 compiler_params=compiler_params,
                 cost_estimate=cost,
                 interpret=interpret,
             )
 
-            def iter_fn(pr_flat, dpr_flat, rhs_flat):
-                return pallas_iter(pr_flat, pr_flat, pr_flat, dpr_flat,
-                                   rhs_flat, yzmask_c, jrow_c, zrow_c,
-                                   xlo_c, xhi_c)
+            if dist:
+                def iter_fn(pr_flat, dpr_flat, rhs_flat, hlo, x_off):
+                    return pallas_iter(pr_flat, pr_flat, pr_flat, dpr_flat,
+                                       rhs_flat, yzmask_c, jrow_c, zrow_c,
+                                       xlo_c, xhi_c, hlo, x_off)
+            else:
+                def iter_fn(pr_flat, dpr_flat, rhs_flat):
+                    return pallas_iter(pr_flat, pr_flat, pr_flat, dpr_flat,
+                                       rhs_flat, yzmask_c, jrow_c, zrow_c,
+                                       xlo_c, xhi_c)
 
             def pack(pr, dprdtau, rhs3d):
                 return zpack(pr), zpack(dprdtau), zpack(rhs3d)
@@ -312,44 +395,66 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 return unflat(pr_flat), unflat(dpr_flat)
 
         else:
-            def kernel(him, hic, hip, lom, loc, lop, dpr, rhs, yzmask,
-                       jrow_r, zrow_r, xlo_r, xhi_r,
-                       hi_out, lo_out, dpr_out):
+            def kernel(*refs):
+                if dist:
+                    (him, hic, hip, lom, loc, lop, dpr, rhs, yzmask,
+                     jrow_r, zrow_r, xlo_r, xhi_r,
+                     h_hlo, l_hlo, xoff,
+                     hi_out, lo_out, dpr_out) = refs
+                    x_off = xoff[0, 0]
+                else:
+                    (him, hic, hip, lom, loc, lop, dpr, rhs, yzmask,
+                     jrow_r, zrow_r, xlo_r, xhi_r,
+                     hi_out, lo_out, dpr_out) = refs
+                    h_hlo = l_hlo = None
+                    x_off = 0
                 sidx = pl.program_id(0)
-                gx = sidx * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-                h_ext = jnp.concatenate(
-                    [him[B - 1:B, :], hic[:, :], hip[0:1, :]], axis=0)
-                l_ext = jnp.concatenate(
-                    [lom[B - 1:B, :], loc[:, :], lop[0:1, :]], axis=0)
+                gx, live = rows_of(sidx, x_off)
+                h_lo, h_hi = x_halo_rows(sidx, him, hip, h_hlo)
+                l_lo, l_hi = x_halo_rows(sidx, lom, lop, l_hlo)
+                h_ext = jnp.concatenate([h_lo, hic[:, :], h_hi], axis=0)
+                l_ext = jnp.concatenate([l_lo, loc[:, :], l_hi], axis=0)
                 q, ql, d_new = compute_slab_ext(
-                    h_ext, l_ext, dpr[:, :], rhs[:, :], gx, yzmask,
+                    h_ext, l_ext, dpr[:, :], rhs[:, :], gx, live, yzmask,
                     jrow_r, zrow_r, xlo_r, xhi_r)
                 hi_out[:, :] = q
                 lo_out[:, :] = ql
                 dpr_out[:, :] = d_new
 
+            in_specs = [
+                row_block(-1), row_block(0), row_block(+1),  # hi x3
+                row_block(-1), row_block(0), row_block(+1),  # lo x3
+                row_block(0),                                 # dpr
+                row_block(0),                                 # rhs
+                lane_row, lane_row, lane_row, lane_row, lane_row,
+            ]
+            if dist:
+                in_specs += [lane_row, lane_row, smem_scalar]
             pallas_iter = pl.pallas_call(
                 kernel,
                 grid=(S,),
                 out_shape=(slab_shape, slab_shape, slab_shape),
-                in_specs=[
-                    row_block(-1), row_block(0), row_block(+1),  # hi x3
-                    row_block(-1), row_block(0), row_block(+1),  # lo x3
-                    row_block(0),                                 # dpr
-                    row_block(0),                                 # rhs
-                    lane_row, lane_row, lane_row, lane_row, lane_row,
-                ],
+                in_specs=in_specs,
                 out_specs=(row_block(0), row_block(0), row_block(0)),
                 compiler_params=compiler_params,
                 cost_estimate=cost,
                 interpret=interpret,
             )
 
-            def iter_fn(hi_flat, lo_flat, dpr_flat, rhs_flat):
-                return pallas_iter(hi_flat, hi_flat, hi_flat,
-                                   lo_flat, lo_flat, lo_flat,
-                                   dpr_flat, rhs_flat, yzmask_c, jrow_c,
-                                   zrow_c, xlo_c, xhi_c)
+            if dist:
+                def iter_fn(hi_flat, lo_flat, dpr_flat, rhs_flat,
+                            h_hlo, l_hlo, x_off):
+                    return pallas_iter(hi_flat, hi_flat, hi_flat,
+                                       lo_flat, lo_flat, lo_flat,
+                                       dpr_flat, rhs_flat, yzmask_c, jrow_c,
+                                       zrow_c, xlo_c, xhi_c,
+                                       h_hlo, l_hlo, x_off)
+            else:
+                def iter_fn(hi_flat, lo_flat, dpr_flat, rhs_flat):
+                    return pallas_iter(hi_flat, hi_flat, hi_flat,
+                                       lo_flat, lo_flat, lo_flat,
+                                       dpr_flat, rhs_flat, yzmask_c, jrow_c,
+                                       zrow_c, xlo_c, xhi_c)
 
             def pack(pr, dprdtau, rhs3d):
                 return (zpack(pr), jnp.zeros((NXP, W), jdtype),
@@ -393,9 +498,10 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                     dma.wait()
 
                 gx = s * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+                live = jnp.logical_and(gx >= 1, gx <= nx - 2)
                 q, d_new = compute_slab(
-                    pr_buf[slot], dpr_buf[slot], rhs_buf[slot], gx, yzmask,
-                    jrow_r, zrow_r, xlo_r, xhi_r)
+                    pr_buf[slot], dpr_buf[slot], rhs_buf[slot], gx, live,
+                    yzmask, jrow_r, zrow_r, xlo_r, xhi_r)
                 opr_buf[:] = q
                 odpr_buf[:] = d_new
                 st1 = pltpu.make_async_copy(

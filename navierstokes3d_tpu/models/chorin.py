@@ -126,8 +126,8 @@ class ChorinSolver:
         Auto policy: on for float32 on TPU-class backends; the jnp path
         remains the oracle (and the float64 / CPU / sharded path).
         """
-        from ..kernels.poisson import (PoissonBCSpec, build_poisson_iter,
-                                       choose_slab)
+        from ..kernels.poisson import (build_poisson_iter, choose_slab,
+                                       poisson_bc_spec)
         cfg, grid = self.cfg, self.grid
         self._pallas = None
         self._pallas_ext = False
@@ -156,23 +156,8 @@ class ChorinSolver:
         nyz = grid.ny * grid.nz
         if choose_slab(grid.nx, nyz, np.dtype(self.dtype).itemsize) < 2:
             return  # in-slab x BCs need >=2 planes per slab
-        phys = cfg.physics
-        if cfg.variant == "multi":
-            bc = PoissonBCSpec(zero_grad_x=True, xlo_plane=None,
-                               xhi_plane=np.zeros(nyz))
-        elif self.pressure_split:
-            rho_g_dz = phys.rho * phys.g * grid.dz
-            bc = PoissonBCSpec(zero_grad_x=False,
-                               xlo_plane=np.full(nyz, 100.0),
-                               xhi_plane=np.zeros(nyz),
-                               z_lo_add=-rho_g_dz, z_hi_add=+rho_g_dz)
-        else:
-            iz = np.arange(1, grid.nz + 1, dtype=np.float64)
-            prof = phys.rho * phys.g * (grid.nz - iz + 0.5) * grid.dz
-            prof2d = np.broadcast_to(prof[None, :], (grid.ny, grid.nz))
-            bc = PoissonBCSpec(zero_grad_x=False,
-                               xlo_plane=(prof2d + 100.0).ravel(),
-                               xhi_plane=prof2d.ravel())
+        bc = poisson_bc_spec(cfg.variant, grid, cfg.physics,
+                             self.pressure_split)
         self._pallas_ext = self.extended and mode == "blocked"
         self._pallas = build_poisson_iter(
             grid.nx, grid.ny, grid.nz, grid.dx, grid.dy, grid.dz,
@@ -561,18 +546,31 @@ class ChorinSolver:
             stall=None)
         return pr, dprdtau, StepStats(iters=iters, err=err, err_hist=hist)
 
-    def step_shard_map_jit(self, mesh):
+    def step_shard_map_jit(self, mesh, use_pallas: bool | None = None):
         """Jitted step whose Poisson hot loop runs under shard_map with
         explicit ppermute halo exchanges and in-loop pmax reductions
         (parallel/halo.py); the rest of the step stays global-view (XLA
-        partitions it). The communication-honest scaling path."""
+        partitions it). The communication-honest scaling path.
+
+        use_pallas: run the fused Pallas kernel per shard (auto: when the
+        solver has a kernel built, the mesh is x-only, and halo width is
+        1 — the configuration where the kernel composes; otherwise the
+        jnp ppermute-halo loop runs)."""
         from ..parallel.halo import build_poisson_shard_map
         from ..parallel.mesh import replicated, state_shardings
+        if use_pallas is None:
+            use_pallas = (self._pallas is not None
+                          and mesh.shape["y"] == 1
+                          and mesh.shape["z"] == 1
+                          and self.cfg.parallel.halo == 1)
+        interpret = jax.default_backend() in ("cpu", "gpu")
         solve = build_poisson_shard_map(
             mesh, self.grid, self.cfg.physics, self.cfg.numerics.eps_it,
             self.cfg.variant, self.dtype,
             halo_width=self.cfg.parallel.halo,
-            pressure_split=self.pressure_split, stall=self._stall)
+            pressure_split=self.pressure_split, stall=self._stall,
+            use_pallas=use_pallas, extended=self.extended and use_pallas,
+            interpret=interpret)
         rho, dt = self.cfg.physics.rho, self.grid.dt
 
         def poisson(pr, dprdtau, divv):

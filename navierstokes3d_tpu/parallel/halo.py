@@ -127,7 +127,9 @@ def _bc_pr_local_padded(pr, variant: str, xlo_plane, xhi_plane, m: int,
 def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
                             variant: str, dtype, halo_width: int = 1,
                             pressure_split: bool = False,
-                            stall=None):
+                            stall=None, use_pallas: bool = False,
+                            extended: bool = False,
+                            interpret: bool = False):
     """Distributed pseudo-transient Poisson solve: the ENTIRE chunked
     while_loop runs inside one shard_map — per iteration: 6 face
     ppermutes (Pr halo) + local fused stencil + position-guarded BCs;
@@ -146,6 +148,13 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
     NumericsConfig.pressure_split) — x Dirichlet planes become constants
     and bc_z! gains affine offsets. stall: (ratio, checks) plateau exit
     (ptloop.pt_loop) or None.
+
+    use_pallas: run the fused Pallas kernel PER SHARD inside the loop
+    (kernels/poisson.py local_rows mode) — requires an x-only mesh
+    (px,1,1) with halo_width 1; each iteration exchanges just the two
+    neighbor face rows via ppermute and the kernel applies the globally
+    position-guarded BCs in-kernel. extended adds the double-single lo
+    channel (two more row exchanges).
 
     Returns solve(pr, dprdtau, rhs3d) -> (pr, dprdtau, iters, err, hist)
     operating on globally-sharded arrays.
@@ -245,6 +254,108 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
         rp = lap_of(pad) - rhs
         local_max = jnp.max(jnp.where(mask, jnp.abs(rp), 0.0))
         return lax.pmax(lax.pmax(lax.pmax(local_max, "x"), "y"), "z")
+
+    def lap_of_ds(pad):
+        """Difference-first lap (see ops/stencil.laplacian_inner_ds):
+        needed wherever the extended pair's extra bits must survive."""
+        c = pad[1:-1, 1:-1, 1:-1]
+        return (((pad[2:, 1:-1, 1:-1] - c) + (pad[:-2, 1:-1, 1:-1] - c))
+                / dx / dx
+                + ((pad[1:-1, 2:, 1:-1] - c) + (pad[1:-1, :-2, 1:-1] - c))
+                / dy / dy
+                + ((pad[1:-1, 1:-1, 2:] - c) + (pad[1:-1, 1:-1, :-2] - c))
+                / dz / dz)
+
+    if use_pallas:
+        # fused per-shard Pallas kernel (x-only decomposition): the entire
+        # iteration — lap, damped update, position-guarded BCs — is one
+        # kernel invocation per shard; communication is exactly two (four
+        # with the extended lo channel) (1, W) neighbor face-row
+        # ppermutes. The kernel's BC guards key on global row indices via
+        # x_off, so this is the reference's rank-guarded set_bc_Pr!
+        # (multi_gpu.jl:175-184) fused into the compute kernel.
+        if npy != 1 or npz != 1:
+            raise ValueError(
+                "shard_map Pallas composition requires an x-only mesh "
+                f"(px,1,1); got {(npx, npy, npz)}")
+        if k != 1:
+            raise ValueError("shard_map Pallas composition uses in-kernel "
+                             "BCs per iteration; halo_width must be 1")
+        from ..kernels.poisson import build_poisson_iter, poisson_bc_spec
+        bcspec = poisson_bc_spec(variant, grid, phys, pressure_split)
+        p_iter, p_pack, p_unpack = build_poisson_iter(
+            nx, ny, nz, dx, dy, dz, dtau, damp, bcspec, dtype=dtype,
+            interpret=interpret, mode="blocked", extended=extended,
+            local_rows=bx)
+
+        def solve_local_pallas(pr, dpr, rhs):
+            mask = local_interior_mask(pr.shape)
+            x_off = (lax.axis_index("x") * bx).astype(jnp.int32
+                                                      ).reshape(1, 1)
+            packed = p_pack(pr, dpr, rhs)
+
+            def face_rows(flat):
+                """(lo_halo operand, flat with the +x neighbor's face
+                written into ghost row bx — the kernel reads it as the +1
+                stencil neighbor of owned row bx-1). Zeros at the open
+                global edges only ever feed BC-overwritten/masked rows."""
+                from_left = _shift(flat[bx - 1:bx, :], "x", +1)
+                from_right = _shift(flat[0:1, :], "x", -1)
+                return from_left, flat.at[bx:bx + 1, :].set(from_right)
+
+            if extended:
+                hi0, lo0, dpf0, rhf = packed
+                prc0 = (hi0, lo0)
+
+                def one_iter(c):
+                    (hi, lo), dpf = c
+                    h_lo, hi = face_rows(hi)
+                    l_lo, lo = face_rows(lo)
+                    hi, lo, dpf = p_iter(hi, lo, dpf, rhf,
+                                         h_lo, l_lo, x_off)
+                    return ((hi, lo), dpf)
+
+                def residual(prc):
+                    hi3, lo3, _ = p_unpack(*prc, prc[0])
+                    rp = (lap_of_ds(halo_pad(hi3)) - rhs
+                          + lap_of_ds(halo_pad(lo3)))
+                    local_max = jnp.max(jnp.where(mask, jnp.abs(rp), 0.0))
+                    return lax.pmax(lax.pmax(lax.pmax(
+                        local_max, "x"), "y"), "z") * err_scale
+            else:
+                hi0, dpf0, rhf = packed
+                prc0 = hi0
+
+                def one_iter(c):
+                    hi, dpf = c
+                    h_lo, hi = face_rows(hi)
+                    hi, dpf = p_iter(hi, dpf, rhf, h_lo, x_off)
+                    return (hi, dpf)
+
+                def residual(prc):
+                    hi3, _ = p_unpack(prc, prc)
+                    return residual_local(hi3, rhs, mask) * err_scale
+
+            def run_iters(prc, dpf, n, kc):
+                return lax.fori_loop(0, n, lambda _, c: one_iter(c),
+                                     (prc, dpf))
+
+            prc, dpf, iters, err, hist = pt_loop(
+                run_iters, residual, prc0, dpf0, nchunks, nchk, rem,
+                eps_it, dtype, stall=stall)
+            if extended:
+                pr3, _, dpr3 = p_unpack(*prc, dpf)
+            else:
+                pr3, dpr3 = p_unpack(prc, dpf)
+            return pr3, dpr3, iters, err, hist
+
+        spec = P(*AXES)
+        rep = P()
+        return shard_map(
+            solve_local_pallas, mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=(spec, spec, rep, rep, rep),
+            check_rep=False)
 
     # kmax-padded global hydrostatic profile (edge-replicated; edge pads
     # are never consumed)

@@ -165,3 +165,58 @@ def test_sharded_step_never_calls_pallas():
     st1 = shard_state(_random_state(solver), mesh1)
     with pytest.raises(AssertionError, match="Pallas backend reached"):
         solver.step_sharded_jit(mesh1)(st1)
+
+
+def _rand_pois(g, seed=5):
+    rng = np.random.default_rng(seed)
+    f = lambda s, sc: jnp.asarray(rng.uniform(-sc, sc, s).astype(np.float32))
+    pr = f(g.shape_c, 100.0)
+    dpr = jnp.zeros(g.shape_c, jnp.float32)
+    rhs = f(g.shape_c, 50.0)
+    return pr, dpr, rhs
+
+
+@pytest.mark.parametrize("extended", [False, True])
+def test_shard_map_pallas_composition(extended):
+    """The fused Pallas kernel composed per-shard under shard_map on an
+    x-only mesh (VERDICT r1 #3): matches the single-device Pallas solve,
+    and its compiled HLO contains no all-gather (communication is
+    face-row collective-permutes + the residual all-reduce only)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    import dataclasses
+    from navierstokes3d_tpu.parallel.halo import build_poisson_shard_map
+    preset = ns.preset_gpu if extended else ns.preset_multi
+    cfg = preset(nx=40, nt=1, compat=False, dtype="float32",
+                 use_pallas=True)
+    cfg = cfg.replace(numerics=dataclasses.replace(
+        cfg.numerics, niter_scale=1, stall_exit=False))
+    solver = ns.ChorinSolver(cfg)
+    assert solver._pallas is not None
+    assert solver._pallas_ext == extended
+    g = solver.grid
+    pr, dpr, rhs = _rand_pois(g)
+
+    # single-device pallas solve (divv such that (rho/dt)*divv == rhs)
+    divv = rhs / jnp.float32(cfg.physics.rho / g.dt)
+    p_ref, d_ref, st_ref = solver._poisson_solve_pallas(pr, dpr, divv)
+
+    mesh = make_mesh(shape=(4, 1, 1), devices=jax.devices()[:4])
+    solve = build_poisson_shard_map(
+        mesh, g, cfg.physics, cfg.numerics.eps_it, cfg.variant,
+        jnp.float32, pressure_split=solver.pressure_split, stall=None,
+        use_pallas=True, extended=extended, interpret=True)
+    fn = jax.jit(solve)
+    p_sh, d_sh, iters, err, hist = fn(pr, dpr, rhs)
+    assert int(iters) == int(st_ref.iters)
+    scale = max(1.0, float(jnp.abs(p_ref).max()))
+    np.testing.assert_allclose(np.asarray(p_sh) / scale,
+                               np.asarray(p_ref) / scale,
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(float(err), float(st_ref.err),
+                               rtol=1e-3, atol=1e-6)
+
+    # no all-gather anywhere in the distributed solve's HLO
+    hlo = fn.lower(pr, dpr, rhs).compile().as_text()
+    assert "all-gather" not in hlo, "Pr must never be gathered"
+    assert "collective-permute" in hlo, "halo exchange must be ppermute"
