@@ -130,7 +130,7 @@ class ChorinSolver:
                                        poisson_bc_spec)
         cfg, grid = self.cfg, self.grid
         self._pallas = None
-        self._pallas_ext = False
+        self._pallas_ext = None
         want = cfg.use_pallas
         backend = jax.default_backend()
         on_tpu = backend not in ("cpu", "gpu")
@@ -158,11 +158,18 @@ class ChorinSolver:
             return  # in-slab x BCs need >=2 planes per slab
         bc = poisson_bc_spec(cfg.variant, grid, cfg.physics,
                              self.pressure_split)
-        self._pallas_ext = self.extended and mode == "blocked"
         self._pallas = build_poisson_iter(
             grid.nx, grid.ny, grid.nz, grid.dx, grid.dy, grid.dz,
             grid.dtau, grid.damp, bc, dtype=self.dtype,
-            interpret=interpret, mode=mode, extended=self._pallas_ext)
+            interpret=interpret, mode=mode)
+        # extended (double-single) kernel for the accuracy phase of the
+        # hybrid solve (_poisson_solve_pallas); ~1.8x cost/iteration.
+        self._pallas_ext = None
+        if self.extended and mode == "blocked":
+            self._pallas_ext = build_poisson_iter(
+                grid.nx, grid.ny, grid.nz, grid.dx, grid.dy, grid.dz,
+                grid.dtau, grid.damp, bc, dtype=self.dtype,
+                interpret=interpret, mode=mode, extended=True)
 
     def step_sharded_jit(self, mesh):
         """Jitted step over a 3D device mesh (global-view SPMD path).
@@ -177,12 +184,16 @@ class ChorinSolver:
         import functools
         sh = state_shardings(mesh)
         rep = replicated(mesh)
-        stats_sh = StepStats(iters=rep, err=rep, err_hist=rep,
-                             advect_clamped=rep)
         # pallas_call cannot be partitioned by the SPMD partitioner; on a
         # real multi-device mesh force the jnp Poisson backends.
+        allow_pallas = mesh.size == 1
+        hybrid = (allow_pallas and self._pallas is not None
+                  and self._pallas_ext is not None)
+        stats_sh = StepStats(iters=rep, err=rep, err_hist=rep,
+                             advect_clamped=rep,
+                             iters_ext=rep if hybrid else None)
         poisson_fn = functools.partial(self.poisson_solve,
-                                       allow_pallas=(mesh.size == 1))
+                                       allow_pallas=allow_pallas)
         step = lambda state: self._step_impl(state, poisson_fn)
         return jax.jit(step, donate_argnums=0,
                        in_shardings=(sh,), out_shardings=(sh, stats_sh))
@@ -245,7 +256,7 @@ class ChorinSolver:
             return self._poisson_solve_fdm(pr, dprdtau, divv,
                                            allow_pallas=allow_pallas)
         if (allow_pallas and self._pallas is not None
-                and (not self.extended or self._pallas_ext)):
+                and (not self.extended or self._pallas_ext is not None)):
             return self._poisson_solve_pallas(pr, dprdtau, divv)
         if not self.cfg.compat:
             return self._poisson_solve_jnp_folded(pr, dprdtau, divv)
@@ -463,37 +474,11 @@ class ChorinSolver:
             nchunks = min(nchunks, max_chunks)
             rem = 0
         iter_fn, pack, unpack = self._pallas
-
+        num = self.cfg.numerics
         rhs3d = (rho / dt) * divv
-        if self._pallas_ext:
-            from ..ops import stencil as stc
-            hi_f, lo_f, dpr_f, rhs_f = pack(pr, dprdtau, rhs3d)
-            prc0 = (hi_f, lo_f)
+        hybrid = self._pallas_ext is not None
 
-            def run_iters(prc, dpr_f, n):
-                hi, lo, dpr_f = lax.fori_loop(
-                    0, n, lambda _, c: iter_fn(*c, rhs_f), (*prc, dpr_f))
-                return (hi, lo), dpr_f
-
-            def residual_err(prc):
-                hi3, lo3, _ = unpack(*prc, prc[0])
-                # difference-first lap: the d2 form's eps*|hi| evaluation
-                # noise would floor the metric above eps_it
-                rp = ((stc.laplacian_inner_ds(hi3, grid.dx, grid.dy, grid.dz)
-                       - (rho / dt) * stc.inn(divv))
-                      + stc.laplacian_inner_ds(lo3, grid.dx, grid.dy,
-                                               grid.dz))
-                return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
-
-            prc, dpr_f, iters, err, hist = pt_loop(
-                lambda p, d, n, k: run_iters(p, d, n), residual_err,
-                prc0, dpr_f, nchunks, grid.nchk, rem, eps_it, self.dtype,
-                stall=self._stall)
-            # hi is the correctly-rounded f32 field (two_sum renormalized)
-            pr3d, _, dpr3d = unpack(*prc, dpr_f)
-            return pr3d, dpr3d, StepStats(iters=iters, err=err,
-                                          err_hist=hist)
-
+        # ---- phase 1: plain fused kernel (the fast path) ----
         pr_pad, dpr_f, rhs_f = pack(pr, dprdtau, rhs3d)
 
         def run_iters(pr_pad, dpr_f, n):
@@ -506,12 +491,70 @@ class ChorinSolver:
                                      grid.dx, grid.dy, grid.dz)
             return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
 
-        pr_pad, dpr_f, iters, err, hist = pt_loop(
+        # in hybrid mode phase 1's exit-at-plain-noise-floor IS the
+        # handoff criterion, so a stall detector always runs here
+        # (stall_exit=False only affects the final phase); the trailing
+        # partial chunk belongs to the final phase.
+        stall1 = self._stall or (num.stall_ratio, num.stall_checks)
+        pr_pad, dpr_f, it1, err1, hist1 = pt_loop(
             lambda p, d, n, k: run_iters(p, d, n), residual_err,
-            pr_pad, dpr_f, nchunks, grid.nchk, rem, eps_it, self.dtype,
-            stall=self._stall)
-        pr, dprdtau = unpack(pr_pad, dpr_f)
-        return pr, dprdtau, StepStats(iters=iters, err=err, err_hist=hist)
+            pr_pad, dpr_f, nchunks, grid.nchk, 0 if hybrid else rem,
+            eps_it, self.dtype, stall=stall1 if hybrid else self._stall)
+        pr1, dpr1 = unpack(pr_pad, dpr_f)
+        if not hybrid:
+            return pr1, dpr1, StepStats(iters=it1, err=err1, err_hist=hist1)
+
+        # ---- phase 2: extended (double-single) kernel continuation ----
+        # The plain phase stops at its float32 noise floor; the pair
+        # carries ~48 bits, so iteration keeps converging from that warm
+        # start down to eps_it (or the evaluation-noise floor, where the
+        # stall detector exits). Skipped entirely if phase 1 converged.
+        from ..ops import stencil as stc
+        iter_e, pack_e, unpack_e = self._pallas_ext
+        hist_nan = jnp.full_like(hist1, jnp.nan)
+
+        def phase2(args):
+            pr1, dpr1 = args
+            hi_f, lo_f, dpf, rhf = pack_e(pr1, dpr1, rhs3d)
+
+            def run_iters_e(prc, dpf, n):
+                hi, lo, dpf = lax.fori_loop(
+                    0, n, lambda _, c: iter_e(*c, rhf), (*prc, dpf))
+                return (hi, lo), dpf
+
+            def residual_err_e(prc):
+                hi3, lo3, _ = unpack_e(*prc, prc[0])
+                # difference-first lap: the d2 form's eps*|hi| evaluation
+                # noise would floor the metric above eps_it
+                rp = ((stc.laplacian_inner_ds(hi3, grid.dx, grid.dy,
+                                              grid.dz)
+                       - (rho / dt) * stc.inn(divv))
+                      + stc.laplacian_inner_ds(lo3, grid.dx, grid.dy,
+                                               grid.dz))
+                return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
+
+            prc, dpf, it2, err2, hist2 = pt_loop(
+                lambda p, d, n, k: run_iters_e(p, d, n), residual_err_e,
+                (hi_f, lo_f), dpf, nchunks, grid.nchk, rem, eps_it,
+                self.dtype, stall=self._stall)
+            # hi is the correctly-rounded f32 field (two_sum renormalized)
+            pr2, _, dpr2 = unpack_e(*prc, dpf)
+            return pr2, dpr2, it2, err2, hist2
+
+        def skip(args):
+            pr1, dpr1 = args
+            return pr1, dpr1, jnp.int32(0), err1, hist_nan
+
+        ran2 = (err1 >= eps_it) & jnp.isfinite(err1)
+        pr2, dpr2, it2, err2, hist2 = lax.cond(ran2, phase2, skip,
+                                               (pr1, dpr1))
+        iters = it1 + it2
+        err = jnp.where(ran2, err2, err1)
+        # splice phase-2 checks after phase 1's in the history
+        hist = jnp.where(jnp.isnan(hist1),
+                         jnp.roll(hist2, it1 // grid.nchk), hist1)
+        return pr2, dpr2, StepStats(iters=iters, err=err, err_hist=hist,
+                                    iters_ext=it2)
 
     def _poisson_solve_jnp(self, pr, dprdtau, divv):
         grid, phys = self.grid, self.cfg.physics

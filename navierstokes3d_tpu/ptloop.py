@@ -8,9 +8,12 @@ the trailing niter % nchk iterations unchecked (the reference's final
 partial chunk).
 
 Optional stall exit (no reference analog; see NumericsConfig.stall_exit):
-stop after `checks` consecutive residual checks that improved by less than
-the ratio — the iteration has hit the dtype's noise floor and the
-remaining budget is pure waste.
+stop when the residual improved by less than ratio**window over the last
+`window` residual checks — the iteration has hit its noise floor and the
+remaining budget is pure waste. The window (rather than per-chunk
+comparison) separates floor noise (per-chunk ratios fluctuating around
+1.0 with dips to ~0.8) from genuinely slow asymptotic convergence
+(steady 0.89-0.94 per chunk).
 """
 
 from __future__ import annotations
@@ -26,40 +29,51 @@ def pt_loop(run_iters: Callable, residual_err: Callable, pr, dpr,
             stall: Optional[Tuple[float, int]] = None):
     """run_iters(pr, dpr, n, k) -> (pr, dpr): n iterations (k = chunk index,
     so a backend may treat the first chunk specially); residual_err(pr) ->
-    scalar err (including any cross-device reduction). Returns
-    (pr, dpr, iters, err, hist)."""
+    scalar err (including any cross-device reduction). stall is
+    (ratio, window) or None: exit when err > ratio**window * err_from_
+    `window`_checks_ago. Returns (pr, dpr, iters, err, hist)."""
     big = jnp.asarray(1e30, dtype)
     stall_on = stall is not None
-    ratio, checks = stall if stall_on else (0.0, 0)
+    ratio, window = stall if stall_on else (0.0, 1)
+    window = max(int(window), 1)
+    thresh = ratio ** window
+
+    def stalled_of(err, errbuf):
+        # errbuf[0] is the err from `window` checks ago; it starts at
+        # `big`, so the first `window` checks can never trip the exit
+        return (err > thresh * errbuf[0]) & (errbuf[0] < big)
 
     def cond(st):
-        _, _, k, err, _, stall_n = st
+        _, _, k, err, _, errbuf = st
         ok = (k < nchunks) & (err >= eps_it) & jnp.isfinite(err)
         if stall_on:
-            ok = ok & (stall_n < checks)
+            ok = ok & jnp.logical_not(stalled_of(err, errbuf))
         return ok
 
     def body(st):
-        pr, dpr, k, err, hist, stall_n = st
+        pr, dpr, k, err, hist, errbuf = st
         pr, dpr = run_iters(pr, dpr, nchk, k)
         new_err = residual_err(pr)
         hist = hist.at[k].set(new_err)
-        if stall_on:
-            # first chunk compares against `big`, never counting as a stall
-            stall_n = jnp.where(new_err > ratio * err, stall_n + 1, 0)
-        return (pr, dpr, k + 1, new_err, hist, stall_n)
+        errbuf = jnp.concatenate([errbuf[1:], new_err[None]])
+        return (pr, dpr, k + 1, new_err, hist, errbuf)
 
     hist0 = jnp.full((max(nchunks, 1),), jnp.nan, dtype)
-    pr, dpr, k, err, hist, stall_n = lax.while_loop(
-        cond, body, (pr, dpr, jnp.int32(0), big, hist0, jnp.int32(0)))
+    # errbuf holds the last window+1 check values (bigs until enough
+    # checks have run): errbuf[-1] == the carried err, errbuf[0] == the
+    # err from exactly `window` intervals earlier (matching ratio**window)
+    errbuf0 = jnp.full((window + 1,), big, dtype)
+    pr, dpr, k, err, hist, errbuf = lax.while_loop(
+        cond, body, (pr, dpr, jnp.int32(0), big, hist0, errbuf0))
     iters = k * nchk
+    stalled = stalled_of(err, errbuf) if stall_on else jnp.bool_(False)
     if rem > 0:
         # The reference's trailing partial chunk runs only if the loop
         # reached niter without converging (gpu.jl:126-137); a stall exit
         # also skips it (iterating at the noise floor buys nothing).
         do_tail = (k >= nchunks) & (err >= eps_it) & jnp.isfinite(err)
         if stall_on:
-            do_tail = do_tail & (stall_n < checks)
+            do_tail = do_tail & jnp.logical_not(stalled)
         pr, dpr = lax.cond(
             do_tail,
             lambda c: run_iters(*c, rem, k),

@@ -52,6 +52,9 @@ class StepStats:
     err_hist: jax.Array   # (niter // nchk,)
     advect_clamped: jax.Array | None = None  # scalar int32 (None inside
     #                                           poisson-only solves)
+    iters_ext: jax.Array | None = None  # iterations run by the extended
+    #   (double-single) kernel in the hybrid Pallas solve; plain-kernel
+    #   iterations = iters - iters_ext. None outside that path.
 
 
 def zeros_state(grid: Grid, dtype) -> FlowState:

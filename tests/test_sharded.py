@@ -193,13 +193,23 @@ def test_shard_map_pallas_composition(extended):
         cfg.numerics, niter_scale=1, stall_exit=False))
     solver = ns.ChorinSolver(cfg)
     assert solver._pallas is not None
-    assert solver._pallas_ext == extended
+    assert (solver._pallas_ext is not None) == extended
     g = solver.grid
     pr, dpr, rhs = _rand_pois(g)
 
-    # single-device pallas solve (divv such that (rho/dt)*divv == rhs)
-    divv = rhs / jnp.float32(cfg.physics.rho / g.dt)
-    p_ref, d_ref, st_ref = solver._poisson_solve_pallas(pr, dpr, divv)
+    # 1-device-mesh reference: the same distributed algorithm, no
+    # decomposition (the single-chip hybrid solver interleaves a plain
+    # phase, so it is not iteration-for-iteration comparable)
+    mesh1 = make_mesh(shape=(1, 1, 1), devices=jax.devices()[:1])
+    solve1 = build_poisson_shard_map(
+        mesh1, g, cfg.physics, cfg.numerics.eps_it, cfg.variant,
+        jnp.float32, pressure_split=solver.pressure_split, stall=None,
+        use_pallas=True, extended=extended, interpret=True)
+    p_ref, d_ref, it_ref, err_ref, _ = jax.jit(solve1)(pr, dpr, rhs)
+
+    class _Stats:
+        iters, err = it_ref, err_ref
+    st_ref = _Stats()
 
     mesh = make_mesh(shape=(4, 1, 1), devices=jax.devices()[:4])
     solve = build_poisson_shard_map(
