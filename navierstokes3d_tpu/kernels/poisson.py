@@ -100,7 +100,8 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                        bc: PoissonBCSpec, dtype=jnp.float32,
                        slab: Optional[int] = None, interpret: bool = False,
                        mode: str = "blocked", extended: bool = False,
-                       local_rows: Optional[int] = None):
+                       local_rows: Optional[int] = None,
+                       folded: bool = False):
     """Returns (iter_fn, pack, unpack):
 
       pack(pr, dprdtau, rhs3d) -> flattened state tuple
@@ -117,6 +118,20 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
     field's representation noise so the residual can genuinely reach the
     reference's eps_it in float32.
 
+    folded=True (blocked mode): fold the boundary conditions into the
+    stencil instead of applying them per iteration — the Pallas analog of
+    _poisson_solve_jnp_folded (models/chorin.py): zero-gradient neighbor
+    terms are dropped via precomputed coefficient-mask lane rows, and
+    Dirichlet planes are loop-invariant (their rows/lanes never update,
+    so whatever the caller froze there persists). The caller must (a) run
+    the FIRST iteration in exact form (ph.poisson_iter + set_bc_pr) so
+    incoming BC-inconsistent boundary planes are read once exactly like
+    the reference, (b) hoist the split-pressure affine-z constants into
+    the RHS, and (c) materialize boundary planes (set_bc_pr) at the end.
+    The payoff: the per-iteration cross-lane shuffle count drops from 8
+    rolls to 4 (16 to 8 extended) — the kernel is VPU-shuffle-bound, not
+    HBM-bound, so this is nearly a 2x on the hot loop.
+
     local_rows (blocked mode): build the kernel for one shard of an
     x-decomposed mesh (the shard_map-composed path, parallel/halo.py).
     The shard owns `local_rows` x-rows; iter_fn gains trailing arguments
@@ -127,6 +142,8 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
     each device applies exactly its own piece of set_bc_Pr! — the Pallas
     analog of the reference's rank-guarded BCs (multi_gpu.jl:164-181).
     """
+    if folded and mode != "blocked":
+        raise ValueError("folded BCs are implemented for 'blocked' mode")
     nyz = ny * nz
     W = ((nyz + 127) // 128) * 128
     jdtype = jnp.dtype(dtype)
@@ -146,6 +163,15 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
     zrow = np.where(real, j % nz, -1).reshape(1, W)      # z index per lane
     yz_interior = ((jrow >= 1) & (jrow <= ny - 2)
                    & (zrow >= 1) & (zrow <= nz - 2)).astype(np.dtype(dtype))
+    # folded mode: per-lane neighbor-term weights (mask * 1/h^2). A weight
+    # is 0 where that neighbor is a zero-gradient copy of the center (the
+    # difference term vanishes after BC application) — y and z are
+    # zero-gradient at both ends in both variants (gpu.jl:281-284 /
+    # multi_gpu.jl:175-178), so these rows are variant-independent.
+    fyp = ((jrow != ny - 2) * inv_dy2).astype(np.dtype(dtype))
+    fym = ((jrow != 1) * inv_dy2).astype(np.dtype(dtype))
+    fzp = ((zrow != nz - 2) * inv_dz2).astype(np.dtype(dtype))
+    fzm = ((zrow != 1) * inv_dz2).astype(np.dtype(dtype))
 
     def lanes(plane):
         out = np.zeros((1, W), np.dtype(dtype))
@@ -205,6 +231,51 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         if has_xhi:
             q = jnp.where(gx == nx - 1, xhi_r[0:1, :], q)
         return q
+
+    def lap_of_rows_folded(p_ext, gx, wyp, wym, wzp, wzm):
+        """Masked-coefficient Laplacian (folded mode): 4 lane rolls per
+        evaluation (vs 4 + 4 BC rolls in exact mode). wyp..wzm are the
+        per-lane neighbor weights (mask/h^2); the x-lo term is dropped by
+        global row index where x is zero-gradient (multi variant)."""
+        pc = p_ext[1:B + 1, :]
+        xp = p_ext[2:B + 2, :] - pc
+        xm = p_ext[0:B, :] - pc
+        if bc.zero_grad_x:
+            xm = jnp.where(gx == 1, jnp.zeros_like(xm), xm)
+        lap = (xp + xm) * inv_dx2
+        lap += ((pltpu.roll(pc, W - nz, 1) - pc) * wyp[0:1, :]
+                + (pltpu.roll(pc, nz, 1) - pc) * wym[0:1, :])
+        lap += ((pltpu.roll(pc, W - 1, 1) - pc) * wzp[0:1, :]
+                + (pltpu.roll(pc, 1, 1) - pc) * wzm[0:1, :])
+        return lap, pc
+
+    def compute_slab_folded(p_ext, d, r, gx, live, yzmask,
+                            wyp, wym, wzp, wzm):
+        """Folded slab math: no BC application — Dirichlet rows/lanes are
+        frozen (live/yzmask exclude them from the update) and
+        zero-gradient neighbors are dropped inside the lap."""
+        lap, pc = lap_of_rows_folded(p_ext, gx, wyp, wym, wzp, wzm)
+        d_new = (d * decay + dtau_c * (lap - r)) * yzmask[0:1, :]
+        d_new = jnp.where(live, d_new, jnp.zeros_like(d_new))
+        q = pc + dtau_c * d_new
+        return q, d_new
+
+    def compute_slab_ext_folded(h_ext, l_ext, d, r, gx, live, yzmask,
+                                wyp, wym, wzp, wzm):
+        """Folded double-single slab math. At frozen cells the two_sum
+        renormalizes the pair (hi absorbs lo) — value-preserving, and the
+        folded lap never reads frozen boundary lanes anyway."""
+        lap_h, hc = lap_of_rows_folded(h_ext, gx, wyp, wym, wzp, wzm)
+        lap_l, lc = lap_of_rows_folded(l_ext, gx, wyp, wym, wzp, wzm)
+        resid = (lap_h - r) + lap_l
+        d_new = (d * decay + dtau_c * resid) * yzmask[0:1, :]
+        d_new = jnp.where(live, d_new, jnp.zeros_like(d_new))
+        u = lc + dtau_c * d_new
+        s = hc + u                      # two_sum(hc, u): exact hi' + lo'
+        ap = s - u
+        bp = s - ap
+        ql = (hc - ap) + (u - bp)
+        return s, ql, d_new
 
     def compute_slab(p_ext, d, r, gx, live, yzmask, jrow_r, zrow_r,
                      xlo_r, xhi_r):
@@ -300,8 +371,12 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                                 memory_space=pltpu.VMEM)
         smem_scalar = pl.BlockSpec((1, 1), (lambda s: (0, 0)),
                                    memory_space=pltpu.SMEM)
-        yzmask_c, jrow_c, zrow_c = map(jnp.asarray, (yz_interior, jrow, zrow))
-        xlo_c, xhi_c = jnp.asarray(xlo), jnp.asarray(xhi)
+        if folded:
+            rows_c = tuple(map(jnp.asarray,
+                               (yz_interior, fyp, fym, fzp, fzm)))
+        else:
+            rows_c = tuple(map(jnp.asarray,
+                               (yz_interior, jrow, zrow, xlo, xhi)))
         slab_shape = jax.ShapeDtypeStruct((NXP, W), jdtype)
 
         def zpack(a):
@@ -337,24 +412,29 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 lo_row = jnp.where(sidx_col == 0, hlo[0:1, :], lo_row)
             return lo_row, hi_row
 
+        # the 5 lane-row operands: (yzmask, jrow, zrow, xlo, xhi) in exact
+        # mode, (yzmask, fyp, fym, fzp, fzm) weight rows in folded mode —
+        # same slots, so the pallas_call plumbing is shared.
+        slab_fn = compute_slab_folded if folded else compute_slab
+        slab_fn_ext = compute_slab_ext_folded if folded else compute_slab_ext
+
         if not extended:
             def kernel(*refs):
                 if dist:
-                    (prm, prc, prp, dpr, rhs, yzmask, jrow_r, zrow_r,
-                     xlo_r, xhi_r, hlo, xoff, pr_out, dpr_out) = refs
+                    (prm, prc, prp, dpr, rhs, row0, row1, row2,
+                     row3, row4, hlo, xoff, pr_out, dpr_out) = refs
                     x_off = xoff[0, 0]
                 else:
-                    (prm, prc, prp, dpr, rhs, yzmask, jrow_r, zrow_r,
-                     xlo_r, xhi_r, pr_out, dpr_out) = refs
+                    (prm, prc, prp, dpr, rhs, row0, row1, row2,
+                     row3, row4, pr_out, dpr_out) = refs
                     hlo = None
                     x_off = 0
                 sidx = pl.program_id(0)
                 gx, live = rows_of(sidx, x_off)
                 lo_row, hi_row = x_halo_rows(sidx, prm, prp, hlo)
                 p_ext = jnp.concatenate([lo_row, prc[:, :], hi_row], axis=0)
-                q, d_new = compute_slab(p_ext, dpr[:, :], rhs[:, :], gx,
-                                        live, yzmask, jrow_r, zrow_r,
-                                        xlo_r, xhi_r)
+                q, d_new = slab_fn(p_ext, dpr[:, :], rhs[:, :], gx,
+                                   live, row0, row1, row2, row3, row4)
                 pr_out[:, :] = q
                 dpr_out[:, :] = d_new
 
@@ -380,13 +460,11 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             if dist:
                 def iter_fn(pr_flat, dpr_flat, rhs_flat, hlo, x_off):
                     return pallas_iter(pr_flat, pr_flat, pr_flat, dpr_flat,
-                                       rhs_flat, yzmask_c, jrow_c, zrow_c,
-                                       xlo_c, xhi_c, hlo, x_off)
+                                       rhs_flat, *rows_c, hlo, x_off)
             else:
                 def iter_fn(pr_flat, dpr_flat, rhs_flat):
                     return pallas_iter(pr_flat, pr_flat, pr_flat, dpr_flat,
-                                       rhs_flat, yzmask_c, jrow_c, zrow_c,
-                                       xlo_c, xhi_c)
+                                       rhs_flat, *rows_c)
 
             def pack(pr, dprdtau, rhs3d):
                 return zpack(pr), zpack(dprdtau), zpack(rhs3d)
@@ -397,14 +475,14 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         else:
             def kernel(*refs):
                 if dist:
-                    (him, hic, hip, lom, loc, lop, dpr, rhs, yzmask,
-                     jrow_r, zrow_r, xlo_r, xhi_r,
+                    (him, hic, hip, lom, loc, lop, dpr, rhs, row0,
+                     row1, row2, row3, row4,
                      h_hlo, l_hlo, xoff,
                      hi_out, lo_out, dpr_out) = refs
                     x_off = xoff[0, 0]
                 else:
-                    (him, hic, hip, lom, loc, lop, dpr, rhs, yzmask,
-                     jrow_r, zrow_r, xlo_r, xhi_r,
+                    (him, hic, hip, lom, loc, lop, dpr, rhs, row0,
+                     row1, row2, row3, row4,
                      hi_out, lo_out, dpr_out) = refs
                     h_hlo = l_hlo = None
                     x_off = 0
@@ -414,9 +492,9 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 l_lo, l_hi = x_halo_rows(sidx, lom, lop, l_hlo)
                 h_ext = jnp.concatenate([h_lo, hic[:, :], h_hi], axis=0)
                 l_ext = jnp.concatenate([l_lo, loc[:, :], l_hi], axis=0)
-                q, ql, d_new = compute_slab_ext(
-                    h_ext, l_ext, dpr[:, :], rhs[:, :], gx, live, yzmask,
-                    jrow_r, zrow_r, xlo_r, xhi_r)
+                q, ql, d_new = slab_fn_ext(
+                    h_ext, l_ext, dpr[:, :], rhs[:, :], gx, live,
+                    row0, row1, row2, row3, row4)
                 hi_out[:, :] = q
                 lo_out[:, :] = ql
                 dpr_out[:, :] = d_new
@@ -446,15 +524,13 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                             h_hlo, l_hlo, x_off):
                     return pallas_iter(hi_flat, hi_flat, hi_flat,
                                        lo_flat, lo_flat, lo_flat,
-                                       dpr_flat, rhs_flat, yzmask_c, jrow_c,
-                                       zrow_c, xlo_c, xhi_c,
+                                       dpr_flat, rhs_flat, *rows_c,
                                        h_hlo, l_hlo, x_off)
             else:
                 def iter_fn(hi_flat, lo_flat, dpr_flat, rhs_flat):
                     return pallas_iter(hi_flat, hi_flat, hi_flat,
                                        lo_flat, lo_flat, lo_flat,
-                                       dpr_flat, rhs_flat, yzmask_c, jrow_c,
-                                       zrow_c, xlo_c, xhi_c)
+                                       dpr_flat, rhs_flat, *rows_c)
 
             def pack(pr, dprdtau, rhs3d):
                 return (zpack(pr), jnp.zeros((NXP, W), jdtype),
@@ -565,4 +641,5 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
 
     iter_fn.slab = B
     iter_fn.mode = mode
+    iter_fn.folded = folded
     return iter_fn, pack, unpack

@@ -106,6 +106,17 @@ class ChorinSolver:
                               * (grid.nz - iz + 0.5) * grid.dz)  # (nz,)
         else:
             self._p_static = None
+        # Folded-BC RHS hoist (full cell-centered shape): the affine-z BC
+        # of the split field drops a CONSTANT -+rho*g*dz neighbor term at
+        # the z-adjacent interior planes; rhs_folded = rhs - hoist. Zero
+        # when the split is off (plain zero-gradient terms vanish).
+        zh = np.zeros(grid.nz)
+        if self.pressure_split:
+            rho_g_dz = phys.rho * phys.g * grid.dz
+            zh[1] = -rho_g_dz / grid.dz / grid.dz
+            zh[grid.nz - 2] = +rho_g_dz / grid.dz / grid.dz
+        self._z_hoist = zh  # (nz,), full-shape z index
+        self._flap = None   # lazily-built folded interior Laplacian
 
     def full_pressure(self, pr) -> jax.Array:
         """Physical pressure Pr from the state's pressure field (identity
@@ -131,6 +142,7 @@ class ChorinSolver:
         cfg, grid = self.cfg, self.grid
         self._pallas = None
         self._pallas_ext = None
+        self._pallas_folded = False
         want = cfg.use_pallas
         backend = jax.default_backend()
         on_tpu = backend not in ("cpu", "gpu")
@@ -158,10 +170,17 @@ class ChorinSolver:
             return  # in-slab x BCs need >=2 planes per slab
         bc = poisson_bc_spec(cfg.variant, grid, cfg.physics,
                              self.pressure_split)
+        # Non-compat runs use the folded-BC kernel (BCs as dropped stencil
+        # terms + a hoisted RHS + one exact first iteration — identical
+        # numerics to _poisson_solve_jnp_folded) at ~half the per-iteration
+        # cross-lane shuffle work; compat keeps the exact in-kernel-BC
+        # sequence, which replicates the reference's update-then-BC loop
+        # bit-for-bit in structure.
+        self._pallas_folded = (not cfg.compat) and mode == "blocked"
         self._pallas = build_poisson_iter(
             grid.nx, grid.ny, grid.nz, grid.dx, grid.dy, grid.dz,
             grid.dtau, grid.damp, bc, dtype=self.dtype,
-            interpret=interpret, mode=mode)
+            interpret=interpret, mode=mode, folded=self._pallas_folded)
         # extended (double-single) kernel for the accuracy phase of the
         # hybrid solve (_poisson_solve_pallas); ~1.8x cost/iteration.
         self._pallas_ext = None
@@ -169,7 +188,8 @@ class ChorinSolver:
             self._pallas_ext = build_poisson_iter(
                 grid.nx, grid.ny, grid.nz, grid.dx, grid.dy, grid.dz,
                 grid.dtau, grid.damp, bc, dtype=self.dtype,
-                interpret=interpret, mode=mode, extended=True)
+                interpret=interpret, mode=mode, extended=True,
+                folded=self._pallas_folded)
 
     def step_sharded_jit(self, mesh):
         """Jitted step over a 3D device mesh (global-view SPMD path).
@@ -319,6 +339,55 @@ class ChorinSolver:
                                                   max_chunks=mc)
         return self._poisson_solve_jnp(pr, dpr0, divv)
 
+    def _folded_lap_fn(self):
+        """Interior Laplacian with the boundary conditions folded in:
+        zero-gradient neighbor terms dropped via coefficient masks (the
+        difference vanishes after BC application), Dirichlet planes read
+        as-is (they are loop-invariant). Shared by the folded jnp backend
+        and the folded Pallas path's residual evaluation."""
+        if self._flap is not None:
+            return self._flap
+        grid, dtype = self.grid, self.dtype
+        nx, ny, nz = grid.nx, grid.ny, grid.nz
+        dx, dy, dz = grid.dx, grid.dy, grid.dz
+
+        # masks stay NumPy so the cached closure holds no traced values
+        # (this may be first called inside a jit trace; jnp constants made
+        # there would leak as tracers into later traces)
+        def masks_1d(n, lo_zero_grad, hi_zero_grad):
+            am = np.ones(n - 2, dtype)
+            ap = np.ones(n - 2, dtype)
+            if lo_zero_grad:
+                am[0] = 0.0
+            if hi_zero_grad:
+                ap[-1] = 0.0
+            return am, ap
+
+        if self.cfg.variant == "multi":
+            # bc_x zero-grad lo; hi ends Dirichlet 0 (outlet overwrite)
+            axm, axp = masks_1d(nx, True, False)
+            aym, ayp = masks_1d(ny, True, True)
+            azm, azp = masks_1d(nz, True, True)
+        else:  # gpu: x Dirichlet both (hydrostatic), y/z zero-grad
+            axm, axp = masks_1d(nx, False, False)
+            aym, ayp = masks_1d(ny, True, True)
+            azm, azp = masks_1d(nz, True, True)
+        axm = axm[:, None, None]; axp = axp[:, None, None]
+        aym = aym[None, :, None]; ayp = ayp[None, :, None]
+        azm = azm[None, None, :]; azp = azp[None, None, :]
+
+        def lap_folded(pr):
+            pc = pr[1:-1, 1:-1, 1:-1]
+            return ((axp * (pr[2:, 1:-1, 1:-1] - pc)
+                     + axm * (pr[:-2, 1:-1, 1:-1] - pc)) / dx / dx
+                    + (ayp * (pr[1:-1, 2:, 1:-1] - pc)
+                       + aym * (pr[1:-1, :-2, 1:-1] - pc)) / dy / dy
+                    + (azp * (pr[1:-1, 1:-1, 2:] - pc)
+                       + azm * (pr[1:-1, 1:-1, :-2] - pc)) / dz / dz)
+
+        self._flap = lap_folded
+        return lap_folded
+
     def _poisson_solve_jnp_folded(self, pr, dprdtau, divv, max_chunks=None):
         """Poisson solve with the boundary conditions folded into the
         stencil: zero-gradient faces become dropped neighbor terms
@@ -343,51 +412,15 @@ class ChorinSolver:
         if max_chunks is not None:
             nchunks = min(nchunks, max_chunks)
             rem = 0
-        nx, ny, nz = grid.nx, grid.ny, grid.nz
         dtype = self.dtype
-
-        # interior coefficient masks (1D, broadcast): a neighbor-term mask
-        # is 0 where that neighbor is a zero-gradient copy of the center.
-        def masks_1d(n, lo_zero_grad, hi_zero_grad):
-            am = np.ones(n - 2, dtype)
-            ap = np.ones(n - 2, dtype)
-            if lo_zero_grad:
-                am[0] = 0.0
-            if hi_zero_grad:
-                ap[-1] = 0.0
-            return jnp.asarray(am), jnp.asarray(ap)
-
-        if self.cfg.variant == "multi":
-            # bc_x zero-grad lo; hi ends Dirichlet 0 (outlet overwrite)
-            axm, axp = masks_1d(nx, True, False)
-            aym, ayp = masks_1d(ny, True, True)
-            azm, azp = masks_1d(nz, True, True)
-        else:  # gpu: x Dirichlet both (hydrostatic), y/z zero-grad
-            axm, axp = masks_1d(nx, False, False)
-            aym, ayp = masks_1d(ny, True, True)
-            azm, azp = masks_1d(nz, True, True)
-        axm = axm[:, None, None]; axp = axp[:, None, None]
-        aym = aym[None, :, None]; ayp = ayp[None, :, None]
-        azm = azm[None, None, :]; azp = azp[None, None, :]
+        lap_folded = self._folded_lap_fn()
 
         rhs = ((rho / dt) * divv[1:-1, 1:-1, 1:-1]).astype(dtype)
         if self.pressure_split:
             # affine z BC (bc.affine_grad_z): the dropped boundary-neighbor
             # term is the CONSTANT -+rho*g*dz, hoisted into the RHS
-            rho_g_dz = phys.rho * phys.g * grid.dz
-            z_add = np.zeros(nz - 2)
-            z_add[0] = -rho_g_dz / dz / dz
-            z_add[-1] = +rho_g_dz / dz / dz
-            rhs = rhs - jnp.asarray(z_add, dtype)[None, None, :]
-
-        def lap_folded(pr):
-            pc = pr[1:-1, 1:-1, 1:-1]
-            return ((axp * (pr[2:, 1:-1, 1:-1] - pc)
-                     + axm * (pr[:-2, 1:-1, 1:-1] - pc)) / dx / dx
-                    + (ayp * (pr[1:-1, 2:, 1:-1] - pc)
-                       + aym * (pr[1:-1, :-2, 1:-1] - pc)) / dy / dy
-                    + (azp * (pr[1:-1, 1:-1, 2:] - pc)
-                       + azm * (pr[1:-1, 1:-1, :-2] - pc)) / dz / dz)
+            rhs = rhs - jnp.asarray(self._z_hoist[1:-1],
+                                    dtype)[None, None, :]
 
         extended = self.extended and dtype == jnp.float32
 
@@ -477,18 +510,48 @@ class ChorinSolver:
         num = self.cfg.numerics
         rhs3d = (rho / dt) * divv
         hybrid = self._pallas_ext is not None
+        folded = self._pallas_folded
+
+        if folded:
+            # folded-BC kernel protocol (see kernels/poisson.py): hoist
+            # the affine-z constants into the RHS, run iteration 1 in
+            # exact form (reads incoming boundary planes like the
+            # reference), freeze the Dirichlet planes via set_bc_pr, and
+            # evaluate residuals with the folded Laplacian. Identical
+            # numerics to _poisson_solve_jnp_folded.
+            rhs3d = rhs3d - jnp.asarray(self._z_hoist,
+                                        self.dtype)[None, None, :]
+            rhs_int = rhs3d[1:-1, 1:-1, 1:-1].astype(self.dtype)
+            lap_folded = self._folded_lap_fn()
+            pr, dprdtau = ph.poisson_iter(pr, dprdtau, divv, rho, dt,
+                                          grid.dtau, grid.damp,
+                                          grid.dx, grid.dy, grid.dz)
+            pr = self.set_bc_pr(pr)
 
         # ---- phase 1: plain fused kernel (the fast path) ----
         pr_pad, dpr_f, rhs_f = pack(pr, dprdtau, rhs3d)
 
-        def run_iters(pr_pad, dpr_f, n):
+        def run_iters(pr_pad, dpr_f, n, k):
+            if folded:
+                # chunk 0 already ran its first iteration in exact form
+                return lax.cond(
+                    k == 0,
+                    lambda c: _run_n(*c, n - 1),
+                    lambda c: _run_n(*c, n),
+                    (pr_pad, dpr_f))
+            return _run_n(pr_pad, dpr_f, n)
+
+        def _run_n(pr_pad, dpr_f, n):
             return lax.fori_loop(
                 0, n, lambda _, c: iter_fn(*c, rhs_f), (pr_pad, dpr_f))
 
         def residual_err(pr_pad):
             pr3d, _ = unpack(pr_pad, dpr_f)
-            rp = ph.poisson_residual(pr3d, divv, rho, dt,
-                                     grid.dx, grid.dy, grid.dz)
+            if folded:
+                rp = lap_folded(pr3d) - rhs_int
+            else:
+                rp = ph.poisson_residual(pr3d, divv, rho, dt,
+                                         grid.dx, grid.dy, grid.dz)
             return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
 
         # in hybrid mode phase 1's exit-at-plain-noise-floor IS the
@@ -497,11 +560,14 @@ class ChorinSolver:
         # partial chunk belongs to the final phase.
         stall1 = self._stall or (num.stall_ratio, num.stall_checks)
         pr_pad, dpr_f, it1, err1, hist1 = pt_loop(
-            lambda p, d, n, k: run_iters(p, d, n), residual_err,
+            run_iters, residual_err,
             pr_pad, dpr_f, nchunks, grid.nchk, 0 if hybrid else rem,
             eps_it, self.dtype, stall=stall1 if hybrid else self._stall)
         pr1, dpr1 = unpack(pr_pad, dpr_f)
         if not hybrid:
+            if folded:
+                # materialize the zero-gradient boundary planes
+                pr1 = self.set_bc_pr(pr1)
             return pr1, dpr1, StepStats(iters=it1, err=err1, err_hist=hist1)
 
         # ---- phase 2: extended (double-single) kernel continuation ----
@@ -525,12 +591,16 @@ class ChorinSolver:
             def residual_err_e(prc):
                 hi3, lo3, _ = unpack_e(*prc, prc[0])
                 # difference-first lap: the d2 form's eps*|hi| evaluation
-                # noise would floor the metric above eps_it
-                rp = ((stc.laplacian_inner_ds(hi3, grid.dx, grid.dy,
-                                              grid.dz)
-                       - (rho / dt) * stc.inn(divv))
-                      + stc.laplacian_inner_ds(lo3, grid.dx, grid.dy,
-                                               grid.dz))
+                # noise would floor the metric above eps_it. (The folded
+                # lap is already difference-first.)
+                if folded:
+                    rp = (lap_folded(hi3) - rhs_int) + lap_folded(lo3)
+                else:
+                    rp = ((stc.laplacian_inner_ds(hi3, grid.dx, grid.dy,
+                                                  grid.dz)
+                           - (rho / dt) * stc.inn(divv))
+                          + stc.laplacian_inner_ds(lo3, grid.dx, grid.dy,
+                                                   grid.dz))
                 return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
 
             prc, dpf, it2, err2, hist2 = pt_loop(
@@ -553,6 +623,9 @@ class ChorinSolver:
         # splice phase-2 checks after phase 1's in the history
         hist = jnp.where(jnp.isnan(hist1),
                          jnp.roll(hist2, it1 // grid.nchk), hist1)
+        if folded:
+            # materialize the zero-gradient boundary planes
+            pr2 = self.set_bc_pr(pr2)
         return pr2, dpr2, StepStats(iters=iters, err=err, err_hist=hist,
                                     iters_ext=it2)
 

@@ -28,25 +28,35 @@ def _lerp(a, b, t):
     return b * t + a * (1.0 - t)
 
 
-def _backtrack(a_o, vxc, vyc, vzc, ix, iy, iz, dt, dx, dy, dz):
+def _backtrack(a_o, vxc, vyc, vzc, ix, iy, iz, dt, dx, dy, dz,
+               origin=(0, 0, 0), gshape=None):
     """Vectorized backtrack! (NavierStokes3D_gpu.jl:288-304).
 
-    a_o: source snapshot (clamp bounds come from its shape).
+    a_o: source snapshot (the local array; on a sharded grid a halo-padded
+    block of the global field).
     vxc/vyc/vzc: face-centered velocities over the write region.
-    ix/iy/iz: 1-based indices of the write region (broadcastable).
+    ix/iy/iz: 1-based LOCAL indices of the write region (broadcastable).
+    origin/gshape: 0-based global index of a_o's element [0,0,0] and the
+    GLOBAL field shape — departure indices clamp at the global bounds
+    exactly like the reference's per-rank clamp into halos. The defaults
+    reproduce the single-device semantics (local == global).
     Returns interpolated values over the write region.
     """
-    n1, n2, n3 = a_o.shape
+    n1, n2, n3 = gshape if gshape is not None else a_o.shape
+    o1_, o2_, o3_ = origin
     dtype = a_o.dtype
     dlx = dt * vxc / dx
     dly = dt * vyc / dy
     dlz = dt * vzc / dz
-    ix1 = jnp.clip(jnp.floor(ix - dlx), 1, n1).astype(jnp.int32)
-    iy1 = jnp.clip(jnp.floor(iy - dly), 1, n2).astype(jnp.int32)
-    iz1 = jnp.clip(jnp.floor(iz - dlz), 1, n3).astype(jnp.int32)
-    ix2 = jnp.minimum(ix1 + 1, n1)
-    iy2 = jnp.minimum(iy1 + 1, n2)
-    iz2 = jnp.minimum(iz1 + 1, n3)
+    ix1 = jnp.clip(jnp.floor((ix + o1_) - dlx), 1, n1).astype(jnp.int32)
+    iy1 = jnp.clip(jnp.floor((iy + o2_) - dly), 1, n2).astype(jnp.int32)
+    iz1 = jnp.clip(jnp.floor((iz + o3_) - dlz), 1, n3).astype(jnp.int32)
+    ix2 = jnp.minimum(ix1 + 1, n1) - o1_
+    iy2 = jnp.minimum(iy1 + 1, n2) - o2_
+    iz2 = jnp.minimum(iz1 + 1, n3) - o3_
+    ix1 = ix1 - o1_
+    iy1 = iy1 - o2_
+    iz1 = iz1 - o3_
     # Julia: δ = (δ>0) - (δ%1); % is truncated remainder == fmod.
     tx = (dlx > 0).astype(dtype) - jnp.fmod(dlx, 1.0)
     ty = (dly > 0).astype(dtype) - jnp.fmod(dly, 1.0)
@@ -84,26 +94,34 @@ SELECTSHIFT_K = 3
 
 
 def _backtrack_selectshift(a_o, vxc, vyc, vzc, starts, dt, dx, dy, dz,
-                           k=SELECTSHIFT_K):
+                           k=SELECTSHIFT_K, origin=(0, 0, 0), gshape=None):
     """Gather-free backtrack!: the trilinear corners lie within a bounded
     (2k+2)^3 neighborhood, so the interpolation becomes a select-weighted
     stencil of static shifted slices — TPU-friendly (the XLA gather path
     costs ~13x more on v5e). Matches _backtrack to rounding whenever
-    |dt v / h| <= k. `starts` are the 1-based region starts per axis.
+    |dt v / h| <= k. `starts` are the 1-based LOCAL region starts per axis.
+
+    origin/gshape: as in _backtrack — departure indices clamp at GLOBAL
+    bounds; offsets into the local array stay local. Requires the local
+    array to carry >= k+1 cells of valid halo around any output consumed
+    (pads beyond the global domain get exactly zero weight, because the
+    clamp keeps samples inside the global bounds).
 
     Returns (values, n_clamped): n_clamped counts region points whose
     displacement exceeded k on any axis (where the result diverges from
-    the reference's gather semantics)."""
-    n1, n2, n3 = a_o.shape
+    the reference's gather semantics; on a sharded padded block the count
+    includes halo cells — see parallel/fullstep.py)."""
+    n1, n2, n3 = gshape if gshape is not None else a_o.shape
+    og = origin
     dtype = a_o.dtype
     sx, sy, sz = starts
     rs = jnp.broadcast_shapes(vxc.shape, vyc.shape, vzc.shape)
 
-    def axis_terms(v, d, axis, start, extent, n):
+    def axis_terms(v, d, axis, start, extent, n, o0):
         idx = jnp.arange(start, start + extent, dtype=dtype)
         shape = [1, 1, 1]
         shape[axis] = extent
-        idx = idx.reshape(shape)
+        idx = idx.reshape(shape) + o0                # global 1-based
         dl_raw = dt * v / d
         dl = jnp.clip(dl_raw, -k, k)
         i1 = jnp.clip(jnp.floor(idx - dl), 1, n)
@@ -112,9 +130,9 @@ def _backtrack_selectshift(a_o, vxc, vyc, vzc, starts, dt, dx, dy, dz,
         o2 = (jnp.minimum(i1 + 1, n) - idx).astype(jnp.int32)
         return o1, o2, t, jnp.abs(dl_raw) > k
 
-    ox1, ox2, tx, cx = axis_terms(vxc, dx, 0, sx, rs[0], n1)
-    oy1, oy2, ty, cy = axis_terms(vyc, dy, 1, sy, rs[1], n2)
-    oz1, oz2, tz, cz = axis_terms(vzc, dz, 2, sz, rs[2], n3)
+    ox1, ox2, tx, cx = axis_terms(vxc, dx, 0, sx, rs[0], n1, og[0])
+    oy1, oy2, ty, cy = axis_terms(vyc, dy, 1, sy, rs[1], n2, og[1])
+    oz1, oz2, tz, cz = axis_terms(vzc, dz, 2, sz, rs[2], n3, og[2])
     n_clamped = jnp.sum((cx | cy | cz).astype(jnp.int32))
     P = k + 1
     ap = jnp.pad(a_o, P)
@@ -145,7 +163,8 @@ def _backtrack_selectshift(a_o, vxc, vyc, vzc, starts, dt, dx, dy, dz,
 
 
 def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool,
-           method: str = "gather", with_stats: bool = False):
+           method: str = "gather", with_stats: bool = False,
+           origin=(0, 0, 0), gshape=None, set_fn=None):
     """Advect all staggered velocity components and the tracer C.
 
     Inputs are the post-BC fields of this step; they serve as both the *_o
@@ -155,28 +174,47 @@ def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool,
     clamped to SELECTSHIFT_K cells).
     with_stats=True additionally returns the number of points whose
     displacement hit the select-shift clamp (always 0 for 'gather').
+
+    Sharded composition (parallel/fullstep.py): the inputs may be
+    halo-padded LOCAL blocks of the global fields. origin = per-axis
+    0-based global CELL index of local element [0,0,0]; gshape = global
+    cell-centered shape (nx,ny,nz) — departure-point clamping then uses
+    global bounds (faces share the cell origin; each branch derives its
+    field's global staggered shape). set_fn(target, region, vals,
+    gbounds) overrides the write `target.at[region].set(vals)` — gbounds
+    is the branch's per-axis GLOBAL 1-based inclusive write range on the
+    target's staggered index space (None = the axis's full range),
+    letting a sharded caller mask writes to the branch's global region.
     """
     nx1, ny, nz = vx.shape          # (nx+1, ny, nz)
     nx = nx1 - 1
     dtype = vx.dtype
     vx_o, vy_o, vz_o, c_o = vx, vy, vz, c
     n_clamped = jnp.zeros((), jnp.int32)
+    if gshape is None:
+        gnx, gny, gnz = nx, ny, nz
+    else:
+        gnx, gny, gnz = gshape
+    if set_fn is None:
+        def set_fn(target, region, vals, gbounds):
+            return target.at[region].set(vals)
 
     if method == "selectshift":
-        def bt(a_o, vxc, vyc, vzc, starts):
+        def bt(a_o, vxc, vyc, vzc, starts, gsh):
             nonlocal n_clamped
             vals, nc = _backtrack_selectshift(a_o, vxc, vyc, vzc, starts,
-                                              dt, dx, dy, dz)
+                                              dt, dx, dy, dz,
+                                              origin=origin, gshape=gsh)
             n_clamped = n_clamped + nc
             return vals
     else:
-        def bt(a_o, vxc, vyc, vzc, starts):
+        def bt(a_o, vxc, vyc, vzc, starts, gsh):
             stops = tuple(st + n - 1 for st, n in zip(
                 starts, jnp.broadcast_shapes(vxc.shape, vyc.shape,
                                              vzc.shape)))
             ix, iy, iz = _ranges(dtype, *zip(starts, stops))
             return _backtrack(a_o, vxc, vyc, vzc, ix, iy, iz,
-                              dt, dx, dy, dz)
+                              dt, dx, dy, dz, origin=origin, gshape=gsh)
 
     # -- branch 1: Vx over ix in 2..nx (gpu.jl:308-314) --
     vxc = vx_o[1:-1, :, :]
@@ -184,8 +222,10 @@ def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool,
                   + vy_o[1:, :-1, :] + vy_o[1:, 1:, :])
     vzc = 0.25 * (vz_o[:-1, :, :-1] + vz_o[:-1, :, 1:]
                   + vz_o[1:, :, :-1] + vz_o[1:, :, 1:])
-    vx_new = vx.at[1:-1, :, :].set(
-        bt(vx_o, vxc, vyc, vzc, (2, 1, 1)))
+    vx_new = set_fn(vx, (slice(1, -1), slice(None), slice(None)),
+                    bt(vx_o, vxc, vyc, vzc, (2, 1, 1),
+                       (gnx + 1, gny, gnz)),
+                    ((2, gnx), None, None))
 
     # -- branch 2: Vy over iy in 2..ny (gpu.jl:315-320) --
     vxc = 0.25 * (vx_o[:-1, :-1, :] + vx_o[1:, :-1, :]
@@ -193,8 +233,10 @@ def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool,
     vyc = vy_o[:, 1:-1, :]
     vzc = 0.25 * (vz_o[:, :-1, :-1] + vz_o[:, :-1, 1:]
                   + vz_o[:, 1:, :-1] + vz_o[:, 1:, 1:])
-    vy_new = vy.at[:, 1:-1, :].set(
-        bt(vy_o, vxc, vyc, vzc, (1, 2, 1)))
+    vy_new = set_fn(vy, (slice(None), slice(1, -1), slice(None)),
+                    bt(vy_o, vxc, vyc, vzc, (1, 2, 1),
+                       (gnx, gny + 1, gnz)),
+                    (None, (2, gny), None))
 
     # -- branch 3: iz in 2..nz with Vz-face velocities (gpu.jl:321-326) --
     vxc = 0.25 * (vx_o[:-1, :, :-1] + vx_o[1:, :, :-1]
@@ -206,18 +248,23 @@ def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool,
         # Reference bug: writes Vy (with Vy_o source and Vy clamp bounds)
         # instead of Vz (gpu.jl:325). Overwrites branch-2 results wherever
         # both regions overlap, exactly as the sequential Julia kernel does.
-        vals = bt(vy_o, vxc, vyc, vzc, (1, 1, 2))
-        vy_new = vy_new.at[:, :-1, 1:].set(vals)
+        vals = bt(vy_o, vxc, vyc, vzc, (1, 1, 2), (gnx, gny + 1, gnz))
+        vy_new = set_fn(vy_new,
+                        (slice(None), slice(None, -1), slice(1, None)),
+                        vals, (None, (1, gny), (2, gnz)))
         vz_new = vz
     else:
-        vals = bt(vz_o, vxc, vyc, vzc, (1, 1, 2))
-        vz_new = vz.at[:, :, 1:-1].set(vals)
+        vals = bt(vz_o, vxc, vyc, vzc, (1, 1, 2), (gnx, gny, gnz + 1))
+        vz_new = set_fn(vz, (slice(None), slice(None), slice(1, -1)),
+                        vals, (None, None, (2, gnz)))
 
     # -- branch 4: tracer C over all cells (gpu.jl:327-332) --
     vxc = 0.5 * (vx_o[:-1, :, :] + vx_o[1:, :, :])
     vyc = 0.5 * (vy_o[:, :-1, :] + vy_o[:, 1:, :])
     vzc = 0.5 * (vz_o[:, :, :-1] + vz_o[:, :, 1:])
-    c_new = bt(c_o, vxc, vyc, vzc, (1, 1, 1))
+    c_new = set_fn(c, (slice(None), slice(None), slice(None)),
+                   bt(c_o, vxc, vyc, vzc, (1, 1, 1), (gnx, gny, gnz)),
+                   (None, None, None))
 
     if with_stats:
         return vx_new, vy_new, vz_new, c_new, n_clamped

@@ -63,6 +63,30 @@ def halo_pad(block, axis_names=AXES, width: int = 1):
     return out
 
 
+def halo_pad_asym(block, widths, axis_names=AXES):
+    """halo_pad with per-axis (lo, hi) widths — the owned-face staggered
+    layout (parallel/fullstep.py) pads the staggered axis one deeper on
+    the hi side so the padded array carries the (n+1)-th face family.
+    widths: sequence of (lo, hi) per axis; an axis may also be skipped
+    with (0, 0). Axes are exchanged sequentially, so corner pads carry
+    diagonal-neighbor data exactly as in halo_pad."""
+    out = block
+    for dim, ax in enumerate(axis_names):
+        lo_w, hi_w = widths[dim]
+        n = out.shape[dim]
+        parts = []
+        if lo_w:
+            hi_face = lax.slice_in_dim(out, n - lo_w, n, axis=dim)
+            parts.append(_shift(hi_face, ax, +1))   # left nbr's last planes
+        parts.append(out)
+        if hi_w:
+            lo_face = lax.slice_in_dim(out, 0, hi_w, axis=dim)
+            parts.append(_shift(lo_face, ax, -1))   # right nbr's first planes
+        if len(parts) > 1:
+            out = jnp.concatenate(parts, axis=dim)
+    return out
+
+
 def _device_pos(axis_names=AXES):
     idx = [lax.axis_index(a) for a in axis_names]
     num = [lax.axis_size(a) for a in axis_names]
@@ -129,7 +153,8 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
                             pressure_split: bool = False,
                             stall=None, use_pallas: bool = False,
                             extended: bool = False,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            wrap: bool = True):
     """Distributed pseudo-transient Poisson solve: the ENTIRE chunked
     while_loop runs inside one shard_map — per iteration: 6 face
     ppermutes (Pr halo) + local fused stencil + position-guarded BCs;
@@ -158,6 +183,12 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
 
     Returns solve(pr, dprdtau, rhs3d) -> (pr, dprdtau, iters, err, hist)
     operating on globally-sharded arrays.
+
+    wrap=False returns the LOCAL solve function instead (operating on
+    per-device blocks, using lax.axis_index/ppermute over the mesh axes) —
+    for composition inside an outer shard_map (parallel/fullstep.py runs
+    the whole time step under one shard_map and calls this solver for the
+    Poisson stage).
     """
     nx, ny, nz = grid.nx, grid.ny, grid.nz
     dx, dy, dz = grid.dx, grid.dy, grid.dz
@@ -349,6 +380,8 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
                 pr3, dpr3 = p_unpack(prc, dpf)
             return pr3, dpr3, iters, err, hist
 
+        if not wrap:
+            return solve_local_pallas
         spec = P(*AXES)
         rep = P()
         return shard_map(
@@ -394,6 +427,8 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
             pr, dpr, nchunks, nchk, rem, eps_it, dtype, stall=stall)
         return pr, dpr, iters, err, hist
 
+    if not wrap:
+        return solve_local
     spec = P(*AXES)
     rep = P()
     solve = shard_map(

@@ -142,6 +142,52 @@ def test_blocked_ghost_rows_stay_inert():
     assert np.isfinite(np.asarray(pr5)).all()
 
 
+@pytest.mark.parametrize("variant", ["multi", "gpu"])
+def test_folded_kernel_matches_jnp_folded_solve(variant):
+    """The folded-BC kernel (non-compat default) implements the same
+    numerics as _poisson_solve_jnp_folded: same iteration counts and
+    rounding-level fields for a full solve from identical smooth inputs."""
+    import dataclasses
+    preset = ns.preset_multi if variant == "multi" else ns.preset_gpu
+    cfg = preset(nx=20, nt=1, compat=False, dtype="float32")
+    # plain folded kernel (no split/extended so both variants take the
+    # same code path; split+extended covered by test_precision.py).
+    # gpu unsplit f32 noise-floors near the default eps_it=1e-3 (the
+    # hydrostatic offset), making the stall exit rounding-sensitive;
+    # raise eps so both backends exit on the convergence criterion.
+    cfg = cfg.replace(numerics=dataclasses.replace(
+        cfg.numerics, pressure_split=False, extended_precision=False,
+        eps_it=5e-3 if variant == "gpu" else 1e-3))
+    s = ns.ChorinSolver(cfg.replace(use_pallas=True))
+    assert s._pallas is not None and s._pallas_folded
+    g = s.grid
+    rng = np.random.default_rng(5)
+
+    def smooth(shape, scale):
+        a = rng.standard_normal(shape)
+        for ax in range(3):
+            a = 0.5 * a + 0.25 * (np.roll(a, 1, ax) + np.roll(a, -1, ax))
+        return jnp.asarray(a * scale, jnp.float32)
+
+    pr = smooth(g.shape_c, 10.0)
+    dpr = jnp.zeros(g.shape_c, jnp.float32)
+    divv = smooth(g.shape_c, 0.05)
+
+    p1, d1, s1 = s._poisson_solve_pallas(pr, dpr, divv)
+    p2, d2, s2 = s._poisson_solve_jnp_folded(pr, dpr, divv)
+    assert int(s1.iters) == int(s2.iters), (int(s1.iters), int(s2.iters))
+    scale = max(1.0, float(jnp.abs(p2).max()))
+    np.testing.assert_allclose(np.asarray(p1) / scale,
+                               np.asarray(p2) / scale, rtol=0, atol=2e-5)
+    # dpr integrates the residual (steady state ~ dtau/damp * resid); the
+    # backends' rounding-different-but-equivalent laps make its noise
+    # ~eps*|p|/h^2 * dtau/damp — compare against that analytic bound
+    h2 = min(g.dx, g.dy, g.dz) ** 2
+    noise_d = (np.finfo(np.float32).eps * scale / h2) * (g.dtau / g.damp)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=0, atol=max(1e-3, 8 * noise_d))
+
+
 def test_full_step_compat_with_pallas():
     """compat=True with the Pallas Poisson path: the kernel implements the
     exact update-then-BC sequence, so compat semantics hold on TPU too."""
