@@ -705,6 +705,17 @@ class ChorinSolver:
         return jax.jit(step, donate_argnums=0,
                        in_shardings=(sh,), out_shardings=(sh, stats_sh))
 
+    def step_fullstep_jit(self, mesh, use_pallas: bool | None = None):
+        """Jitted step with the ENTIRE Chorin step under one shard_map:
+        owned-face staggered velocity storage (every field shards on all
+        three mesh axes) and explicit ppermute halo exchanges for every
+        stage — the communication-complete analog of the reference's
+        update_halo! schedule (multi_gpu.jl:446-477). Operates on the
+        DistState layout of parallel/fullstep.py (to_dist/from_dist
+        convert at I/O boundaries)."""
+        from ..parallel.fullstep import build_fullstep
+        return build_fullstep(self, mesh, use_pallas=use_pallas)
+
     # ---- full step ----
 
     def step(self, state: FlowState) -> Tuple[FlowState, StepStats]:

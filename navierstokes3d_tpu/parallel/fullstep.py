@@ -107,6 +107,32 @@ def from_dist(dist: DistState) -> FlowState:
         dprdtau=jnp.asarray(g(dist.dprdtau)))
 
 
+def stag_pad_local(vo, vh, axis, k, blocks):
+    """Halo-padded local canonical staggered array (runs INSIDE
+    shard_map): faces [go-k, go+b+k] on `axis` (k lo / k+1 hi), cells
+    [go-k, go+b+k) on the others. The global hi-face plane vh is inserted
+    at its true position on the axis-edge device; pads beyond the global
+    domain hold zeros (buffer cells, never consumed with effect)."""
+    widths = [(k, k), (k, k), (k, k)]
+    widths[axis] = (k, k + 1)
+    p = halo_pad_asym(vo, widths)
+    # 2D-pad the hi plane over its own axes so corners align
+    other = [d for d in range(3) if d != axis]
+    vh_p = halo_pad_asym(vh, [(k, k), (k, k)],
+                         axis_names=tuple(AXES[d] for d in other)) \
+        if k > 0 else vh
+    idx = k + blocks[axis]
+    ax_name = AXES[axis]
+    is_edge = lax.axis_index(ax_name) == lax.axis_size(ax_name) - 1
+    if axis == 0:
+        with_plane = p.at[idx].set(vh_p)
+    elif axis == 1:
+        with_plane = p.at[:, idx].set(vh_p)
+    else:
+        with_plane = p.at[:, :, idx].set(vh_p)
+    return jnp.where(is_edge, with_plane, p)
+
+
 def build_fullstep(solver, mesh: Mesh, use_pallas: bool | None = None):
     """Build the jitted full-step function over `mesh` for `solver`.
 
@@ -173,31 +199,11 @@ def build_fullstep(solver, mesh: Mesh, use_pallas: bool | None = None):
         return m
 
     def stag_pad(vo, vh, axis, k):
-        """Halo-padded local canonical staggered array: faces
-        [go-k, go+b+k] on `axis` (k lo / k+1 hi), cells [go-k, go+b+k) on
-        the others. The global hi-face plane vh is inserted at its true
-        position on the axis-edge device; pads beyond the global domain
-        hold zeros (buffer cells, never consumed with effect)."""
-        widths = [(k, k), (k, k), (k, k)]
-        widths[axis] = (k, k + 1)
-        p = halo_pad_asym(vo, widths)
-        # 2D-pad the hi plane over its own axes so corners align
-        other = [d for d in range(3) if d != axis]
-        vh_p = halo_pad_asym(vh, [(k, k), (k, k)],
-                             axis_names=tuple(AXES[d] for d in other)) \
-            if k > 0 else vh
-        idx = k + (bx, by, bz)[axis]
-        is_edge = lax.axis_index(AXES[axis]) == (npx, npy, npz)[axis] - 1
-        if axis == 0:
-            with_plane = p.at[idx].set(vh_p)
-        elif axis == 1:
-            with_plane = p.at[:, idx].set(vh_p)
-        else:
-            with_plane = p.at[:, :, idx].set(vh_p)
-        return jnp.where(is_edge, with_plane, p)
+        return stag_pad_local(vo, vh, axis, k, (bx, by, bz))
 
     def local2d(mask, o0, o1, s0, s1):
-        return lax.dynamic_slice(mask, (o0, o1), (s0, s1))
+        return lax.dynamic_slice(mask, (jnp.int32(o0), jnp.int32(o1)),
+                                 (s0, s1))
 
     def cylinder_local(c, vx, vy, vz, vxh, vyh, vzh):
         """apply_cylinder on owned blocks + hi-face planes (set_cylinder!,

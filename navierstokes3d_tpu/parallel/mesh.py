@@ -67,8 +67,9 @@ def state_shardings(mesh: Mesh) -> FlowState:
     velocities have an (n+1)-sized dimension, which NamedSharding cannot
     split evenly; in this path each velocity shards over its two
     non-staggered axes and is replicated along its own staggered axis.
-    The explicit shard_map path stores velocities in owned-face layout
-    (n faces per shard) and shards all three axes.
+    The full-step explicit-comm path (parallel/fullstep.py) stores
+    velocities in owned-face layout (n faces per shard + a 2D hi-face
+    plane) and shards all three axes, so its memory truly scales 1/N.
     """
     cell = NamedSharding(mesh, P(*AXES))
     vx = NamedSharding(mesh, P(None, "y", "z"))

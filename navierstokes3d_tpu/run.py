@@ -41,11 +41,15 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--mesh", default=None,
                     help="device mesh PXxPYxPZ, e.g. 2x2x2 (default: 1 chip)")
-    ap.add_argument("--comm", choices=("auto", "shard_map"), default="auto",
+    ap.add_argument("--comm", choices=("auto", "shard_map", "fullstep"),
+                    default="auto",
                     help="sharded communication backend: 'auto' lets the "
                          "XLA SPMD partitioner insert halo collectives; "
                          "'shard_map' uses the explicit ppermute halo "
-                         "exchange Poisson loop (parallel/halo.py)")
+                         "exchange Poisson loop (parallel/halo.py); "
+                         "'fullstep' runs the ENTIRE step under shard_map "
+                         "with owned-face staggered storage "
+                         "(parallel/fullstep.py)")
     ap.add_argument("--halo-width", type=int, default=1,
                     help="Poisson iterations batched per halo exchange in "
                          "shard_map mode (temporal blocking)")
@@ -86,17 +90,22 @@ def main(argv=None):
     g = solver.grid
 
     mesh = None
+    fullstep = False
     step = solver.step_jit
     if args.mesh:
         from navierstokes3d_tpu.parallel import make_mesh, shard_state
         shape = tuple(int(p) for p in args.mesh.lower().split("x"))
         mesh = make_mesh(shape=shape)
-        if args.comm == "shard_map":
-            import dataclasses as _dc
+        if args.comm in ("shard_map", "fullstep"):
             from navierstokes3d_tpu.config import ParallelConfig
             solver = ns.ChorinSolver(cfg.replace(parallel=ParallelConfig(
                 mesh_shape=shape, halo=args.halo_width)))
-            step = solver.step_shard_map_jit(mesh)
+            if args.comm == "fullstep":
+                from navierstokes3d_tpu.parallel import fullstep as fsmod
+                step = solver.step_fullstep_jit(mesh)
+                fullstep = True
+            else:
+                step = solver.step_shard_map_jit(mesh)
         else:
             step = solver.step_sharded_jit(mesh)
 
@@ -113,8 +122,13 @@ def main(argv=None):
             state = solver.init_state()
     else:
         state = solver.init_state()
-    if mesh is not None:
-        state = shard_state(state, mesh)
+    if fullstep:
+        state = fsmod.to_dist(state, mesh)
+        to_flow = fsmod.from_dist  # gathers for I/O boundaries
+    else:
+        if mesh is not None:
+            state = shard_state(state, mesh)
+        to_flow = lambda st: st
 
     # vis and save run on independent cadences (reference checks %nvis and
     # %nsave separately, gpu.jl:143,168); .bin dumps are frame-indexed while
@@ -123,8 +137,9 @@ def main(argv=None):
     # (multi_gpu.jl:515-523; gpu.jl:169).
     ivis = isave = 0
 
-    def dump_save(it, state):
+    def dump_save(it, dstate):
         nonlocal isave
+        state = to_flow(dstate)
         c, pr, vx, vy, vz = solver.gather_inner(state)
         binio.save_fields(args.out_dir,
                           isave, {"C": c, "Pr": pr, "Vx": vx,
@@ -136,9 +151,9 @@ def main(argv=None):
                             g.dx, g.dy, g.dz)
         isave += 1
 
-    def dump_vis(it, state, stats=None):
+    def dump_vis(it, dstate, stats=None):
         nonlocal ivis
-        c, pr, vx, vy, vz = solver.gather_inner(state)
+        c, pr, vx, vy, vz = solver.gather_inner(to_flow(dstate))
         fields = {"C": c, "Pr": pr, "Vx": vx, "Vy": vy, "Vz": vz}
         viz.save_frame(args.viz_dir, ivis, g, fields, t=it * g.dt)
         if stats is not None:
@@ -184,8 +199,8 @@ def main(argv=None):
             dump_vis(it, state, stats)
         if args.checkpoint_every and it % args.checkpoint_every == 0:
             checkpoint.save_checkpoint(
-                os.path.join(args.ckpt_dir, f"ckpt_{it:07d}.npz"), state, it,
-                pressure_split=solver.pressure_split)
+                os.path.join(args.ckpt_dir, f"ckpt_{it:07d}.npz"),
+                to_flow(state), it, pressure_split=solver.pressure_split)
 
     summary = timer.summary()
     print(json.dumps(summary))
