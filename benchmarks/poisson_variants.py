@@ -32,6 +32,12 @@ def main(argv=None):
     ap.add_argument("--nx", type=int, default=255)
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--folded", action="store_true",
+                    help="bench the folded-BC Pallas kernel too")
+    ap.add_argument("--extended", action="store_true",
+                    help="also bench the extended (double-single) kernel")
+    ap.add_argument("--mrows", type=int, action="append", default=None,
+                    help="M values for the folded kernel (repeatable)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
     if args.platform:
@@ -164,6 +170,38 @@ def main(argv=None):
                 0, K, lambda _, c: iter_fn(*c, rf), (pp, df))
 
         timeit(f"pallas-{iter_fn.mode}(B={iter_fn.slab})", run_pallas, pp, df)
+
+    if args.folded:
+        from navierstokes3d_tpu.kernels.poisson import (PoissonBCSpec,
+                                                        build_poisson_iter)
+        bc = PoissonBCSpec(True, None, np.zeros(ny * nz))
+        for m in (args.mrows or [1, 2, 4, 8]):
+            iter_fn, pack, unpack = build_poisson_iter(
+                nx, ny, nz, dx, dy, dz, dtau, damp, bc, dtype=jnp.float32,
+                mode="blocked", folded=True, mrows=m)
+            pp, df, rf = pack(pr0, dpr0, (rho / dt) * divv0)
+
+            @jax.jit
+            def run_folded_pallas(pp, df):
+                return jax.lax.fori_loop(
+                    0, K, lambda _, c: iter_fn(*c, rf), (pp, df))
+
+            timeit(f"pallas-folded(B={iter_fn.slab},M={iter_fn.mrows})",
+                   run_folded_pallas, pp, df)
+            if args.extended:
+                it_e, pack_e, unpack_e = build_poisson_iter(
+                    nx, ny, nz, dx, dy, dz, dtau, damp, bc,
+                    dtype=jnp.float32, mode="blocked", folded=True,
+                    extended=True, mrows=m)
+                hi, lo, df_e, rf_e = pack_e(pr0, dpr0, (rho / dt) * divv0)
+
+                @jax.jit
+                def run_ext(hi, lo, df):
+                    return jax.lax.fori_loop(
+                        0, K, lambda _, c: it_e(*c, rf_e), (hi, lo, df))
+
+                timeit(f"pallas-ext(B={it_e.slab},M={it_e.mrows})",
+                       run_ext, hi, lo, df_e)
 
 
 if __name__ == "__main__":

@@ -101,7 +101,8 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                        slab: Optional[int] = None, interpret: bool = False,
                        mode: str = "blocked", extended: bool = False,
                        local_rows: Optional[int] = None,
-                       folded: bool = False):
+                       folded: bool = False,
+                       mrows: Optional[int] = None):
     """Returns (iter_fn, pack, unpack):
 
       pack(pr, dprdtau, rhs3d) -> flattened state tuple
@@ -200,8 +201,8 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         # extended-precision pair, whose whole point is removing the
         # eps*|value| noise (a - 2c + b form floors the residual at ~2e-3
         # on the split gpu preset; this form reaches eps_it).
-        pc = p_ext[1:B + 1, :]
-        lap = ((p_ext[2:B + 2, :] - pc) + (p_ext[0:B, :] - pc)) * inv_dx2
+        pc = p_ext[1:-1, :]
+        lap = ((p_ext[2:, :] - pc) + (p_ext[:-2, :] - pc)) * inv_dx2
         # pltpu.roll needs non-negative shifts: -k == W - k (cyclic)
         lap += ((pltpu.roll(pc, W - nz, 1) - pc)
                 + (pltpu.roll(pc, nz, 1) - pc)) * inv_dy2
@@ -212,7 +213,8 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
     def apply_bc_rows(q, gx, jrow_r, zrow_r, xlo_r, xhi_r, z_lo_c, z_hi_c):
         """The reference's set_bc_Pr! plane sequence on a (B,W) slab."""
         if bc.zero_grad_x:
-            q = jnp.where(gx == 0, pltpu.roll(q, B - 1, 0), q)  # row<-row+1
+            q = jnp.where(gx == 0,
+                          pltpu.roll(q, q.shape[0] - 1, 0), q)  # row<-row+1
             q = jnp.where(gx == nx - 1, pltpu.roll(q, 1, 0), q)  # row<-row-1
         jr = jrow_r[0:1, :]
         zr = zrow_r[0:1, :]
@@ -237,9 +239,9 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         evaluation (vs 4 + 4 BC rolls in exact mode). wyp..wzm are the
         per-lane neighbor weights (mask/h^2); the x-lo term is dropped by
         global row index where x is zero-gradient (multi variant)."""
-        pc = p_ext[1:B + 1, :]
-        xp = p_ext[2:B + 2, :] - pc
-        xm = p_ext[0:B, :] - pc
+        pc = p_ext[1:-1, :]
+        xp = p_ext[2:, :] - pc
+        xm = p_ext[:-2, :] - pc
         if bc.zero_grad_x:
             xm = jnp.where(gx == 1, jnp.zeros_like(xm), xm)
         lap = (xp + xm) * inv_dx2
@@ -361,11 +363,50 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         NXP = ((LR + (1 if dist else 0) + B - 1) // B) * B
         S = NXP // B
 
+        # M output slabs per grid step (folded, non-distributed): Pr is
+        # fetched as M+2 B-row blocks per step instead of 3 per slab, so
+        # its HBM traffic drops from 3 passes to (M+2)/M. Measured on
+        # v5e at 255x153x153 (benchmarks/poisson_variants.py --folded):
+        # plain 0.180/0.176/0.172/0.282 ms/iter at M=1/2/4/8 and extended
+        # 0.321/0.322/0.373/OOM — larger blocks shrink the double-buffer
+        # pipeline overlap and (extended, M>=8) blow scoped VMEM, so the
+        # default is M=4 plain / M=1 extended; NS3D_PALLAS_M or mrows=
+        # override for experiments.
+        M = 1
+        if folded and not dist:
+            env_m = os.environ.get("NS3D_PALLAS_M")
+            if mrows is not None:
+                cands = [mrows]
+            elif env_m:
+                cands = [int(env_m)]
+            else:
+                cands = [1] if extended else [4, 2, 1]
+            streams = 2 if extended else 1
+            n_out = 3 if extended else 2
+            for m in cands:
+                live_rows = 2 * (streams * (m + 2) * B + (2 + n_out) * m * B)
+                if S % m == 0 and live_rows * W * itemsize <= 72 * 2 ** 20:
+                    M = m
+                    break
+            if (mrows is not None or env_m) and M == 1 and cands[0] != 1:
+                raise ValueError(
+                    f"mrows={cands[0]} needs S%mrows==0 (S={S}) and the "
+                    "working set within VMEM")
+        R = M * B
+        G = S // M
+
         def row_block(off):
+            """B-row input block at stride M: grid step s covers output
+            rows [s*R, s*R+R); its x halo comes from the last/first rows
+            of the flanking blocks (edge clips feed only masked rows)."""
             return pl.BlockSpec(
                 (B, W),
-                (lambda s: (jnp.clip(s + off, 0, S - 1), 0)),
+                (lambda s: (jnp.clip(s * M + off, 0, S - 1), 0)),
                 memory_space=pltpu.VMEM)
+
+        def big_block():
+            return pl.BlockSpec(
+                (R, W), (lambda s: (s, 0)), memory_space=pltpu.VMEM)
 
         lane_row = pl.BlockSpec((1, W), (lambda s: (0, 0)),
                                 memory_space=pltpu.VMEM)
@@ -387,30 +428,33 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             return a[:LR, :nyz].reshape(LR, ny, nz)
 
         def rows_of(sidx, x_off):
-            """(gx, live): global row indices of slab sidx and the rows
-            that update — global interior AND locally owned (distributed
-            shards have ghost rows whose gx is a valid global index)."""
-            lrow = sidx * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+            """(gx, live): global row indices of grid step sidx's R rows
+            and the rows that update — global interior AND locally owned
+            (distributed shards have ghost rows whose gx is a valid
+            global index)."""
+            lrow = sidx * R + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
             gx = x_off + lrow
             live = jnp.logical_and(gx >= 1, gx <= nx - 2)
             if dist:
                 live = jnp.logical_and(live, lrow < LR)
             return gx, live
 
-        def x_halo_rows(sidx, pm, pp, hlo):
-            """x halo: last row of previous block / first row of next
-            block. Distributed: the -x neighbor halo replaces slab 0's
-            lo row (row 0 is always a slab's first row); the +x halo is
-            NOT an operand — the caller writes it into ghost row LR, so
-            it is reached through the normal in-block/next-block neighbor
-            path wherever LR falls. At global edges the leftover garbage
-            only reaches masked ring/ghost rows."""
-            lo_row = pm[B - 1:B, :]
-            hi_row = pp[0:1, :]
+        def p_ext_of(sidx, blocks, hlo):
+            """(R+2)-row extended window from the M+2 fetched B-row
+            blocks: the flanking blocks contribute their last/first row.
+            Distributed: the -x neighbor halo replaces step 0's lo row
+            (row 0 is always a step's first row); the +x halo is NOT an
+            operand — the caller writes it into ghost row LR, reached
+            through the normal in-window/next-block neighbor path. At
+            global edges the leftover garbage only reaches masked
+            ring/ghost rows."""
+            lo_row = blocks[0][B - 1:B, :]
             if dist:
                 sidx_col = jnp.full((1, 1), sidx, jnp.int32)
                 lo_row = jnp.where(sidx_col == 0, hlo[0:1, :], lo_row)
-            return lo_row, hi_row
+            hi_row = blocks[M + 1][0:1, :]
+            mid = [b[:, :] for b in blocks[1:M + 1]]
+            return jnp.concatenate([lo_row, *mid, hi_row], axis=0)
 
         # the 5 lane-row operands: (yzmask, jrow, zrow, xlo, xhi) in exact
         # mode, (yzmask, fyp, fym, fzp, fzm) weight rows in folded mode —
@@ -418,40 +462,52 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         slab_fn = compute_slab_folded if folded else compute_slab
         slab_fn_ext = compute_slab_ext_folded if folded else compute_slab_ext
 
+        cost = pl.CostEstimate(
+            flops=(36 if extended else 20) * nx * W,
+            bytes_accessed=int((((2 if extended else 1) * (M + 2) / M
+                                 + (5 if extended else 4))
+                                * nx * W * itemsize)),
+            transcendentals=0)
+        live_rows_ = (2 * ((2 if extended else 1) * (M + 2) * B
+                           + (2 + (3 if extended else 2)) * R) + 8)
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(live_rows_ * W * itemsize + 2 ** 22,
+                                     110 * 2 ** 20)))
+
         if not extended:
             def kernel(*refs):
+                prs = refs[:M + 2]
                 if dist:
-                    (prm, prc, prp, dpr, rhs, row0, row1, row2,
-                     row3, row4, hlo, xoff, pr_out, dpr_out) = refs
+                    (dpr, rhs, row0, row1, row2, row3, row4,
+                     hlo, xoff, pr_out, dpr_out) = refs[M + 2:]
                     x_off = xoff[0, 0]
                 else:
-                    (prm, prc, prp, dpr, rhs, row0, row1, row2,
-                     row3, row4, pr_out, dpr_out) = refs
+                    (dpr, rhs, row0, row1, row2, row3, row4,
+                     pr_out, dpr_out) = refs[M + 2:]
                     hlo = None
                     x_off = 0
                 sidx = pl.program_id(0)
                 gx, live = rows_of(sidx, x_off)
-                lo_row, hi_row = x_halo_rows(sidx, prm, prp, hlo)
-                p_ext = jnp.concatenate([lo_row, prc[:, :], hi_row], axis=0)
+                p_ext = p_ext_of(sidx, prs, hlo)
                 q, d_new = slab_fn(p_ext, dpr[:, :], rhs[:, :], gx,
                                    live, row0, row1, row2, row3, row4)
                 pr_out[:, :] = q
                 dpr_out[:, :] = d_new
 
-            in_specs = [
-                row_block(-1), row_block(0), row_block(+1),  # pr x3
-                row_block(0),                                 # dpr
-                row_block(0),                                 # rhs
+            in_specs = [row_block(off) for off in range(-1, M + 1)]  # pr
+            in_specs += [
+                big_block(),                                  # dpr
+                big_block(),                                  # rhs
                 lane_row, lane_row, lane_row, lane_row, lane_row,
             ]
             if dist:
                 in_specs += [lane_row, smem_scalar]
             pallas_iter = pl.pallas_call(
                 kernel,
-                grid=(S,),
+                grid=(G,),
                 out_shape=(slab_shape, slab_shape),
                 in_specs=in_specs,
-                out_specs=(row_block(0), row_block(0)),
+                out_specs=(big_block(), big_block()),
                 compiler_params=compiler_params,
                 cost_estimate=cost,
                 interpret=interpret,
@@ -459,11 +515,11 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
 
             if dist:
                 def iter_fn(pr_flat, dpr_flat, rhs_flat, hlo, x_off):
-                    return pallas_iter(pr_flat, pr_flat, pr_flat, dpr_flat,
+                    return pallas_iter(*([pr_flat] * (M + 2)), dpr_flat,
                                        rhs_flat, *rows_c, hlo, x_off)
             else:
                 def iter_fn(pr_flat, dpr_flat, rhs_flat):
-                    return pallas_iter(pr_flat, pr_flat, pr_flat, dpr_flat,
+                    return pallas_iter(*([pr_flat] * (M + 2)), dpr_flat,
                                        rhs_flat, *rows_c)
 
             def pack(pr, dprdtau, rhs3d):
@@ -474,24 +530,22 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
 
         else:
             def kernel(*refs):
+                his = refs[:M + 2]
+                los = refs[M + 2:2 * (M + 2)]
                 if dist:
-                    (him, hic, hip, lom, loc, lop, dpr, rhs, row0,
-                     row1, row2, row3, row4,
+                    (dpr, rhs, row0, row1, row2, row3, row4,
                      h_hlo, l_hlo, xoff,
-                     hi_out, lo_out, dpr_out) = refs
+                     hi_out, lo_out, dpr_out) = refs[2 * (M + 2):]
                     x_off = xoff[0, 0]
                 else:
-                    (him, hic, hip, lom, loc, lop, dpr, rhs, row0,
-                     row1, row2, row3, row4,
-                     hi_out, lo_out, dpr_out) = refs
+                    (dpr, rhs, row0, row1, row2, row3, row4,
+                     hi_out, lo_out, dpr_out) = refs[2 * (M + 2):]
                     h_hlo = l_hlo = None
                     x_off = 0
                 sidx = pl.program_id(0)
                 gx, live = rows_of(sidx, x_off)
-                h_lo, h_hi = x_halo_rows(sidx, him, hip, h_hlo)
-                l_lo, l_hi = x_halo_rows(sidx, lom, lop, l_hlo)
-                h_ext = jnp.concatenate([h_lo, hic[:, :], h_hi], axis=0)
-                l_ext = jnp.concatenate([l_lo, loc[:, :], l_hi], axis=0)
+                h_ext = p_ext_of(sidx, his, h_hlo)
+                l_ext = p_ext_of(sidx, los, l_hlo)
                 q, ql, d_new = slab_fn_ext(
                     h_ext, l_ext, dpr[:, :], rhs[:, :], gx, live,
                     row0, row1, row2, row3, row4)
@@ -499,21 +553,21 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 lo_out[:, :] = ql
                 dpr_out[:, :] = d_new
 
-            in_specs = [
-                row_block(-1), row_block(0), row_block(+1),  # hi x3
-                row_block(-1), row_block(0), row_block(+1),  # lo x3
-                row_block(0),                                 # dpr
-                row_block(0),                                 # rhs
+            in_specs = [row_block(off) for off in range(-1, M + 1)]  # hi
+            in_specs += [row_block(off) for off in range(-1, M + 1)]  # lo
+            in_specs += [
+                big_block(),                                  # dpr
+                big_block(),                                  # rhs
                 lane_row, lane_row, lane_row, lane_row, lane_row,
             ]
             if dist:
                 in_specs += [lane_row, lane_row, smem_scalar]
             pallas_iter = pl.pallas_call(
                 kernel,
-                grid=(S,),
+                grid=(G,),
                 out_shape=(slab_shape, slab_shape, slab_shape),
                 in_specs=in_specs,
-                out_specs=(row_block(0), row_block(0), row_block(0)),
+                out_specs=(big_block(), big_block(), big_block()),
                 compiler_params=compiler_params,
                 cost_estimate=cost,
                 interpret=interpret,
@@ -522,14 +576,14 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             if dist:
                 def iter_fn(hi_flat, lo_flat, dpr_flat, rhs_flat,
                             h_hlo, l_hlo, x_off):
-                    return pallas_iter(hi_flat, hi_flat, hi_flat,
-                                       lo_flat, lo_flat, lo_flat,
+                    return pallas_iter(*([hi_flat] * (M + 2)),
+                                       *([lo_flat] * (M + 2)),
                                        dpr_flat, rhs_flat, *rows_c,
                                        h_hlo, l_hlo, x_off)
             else:
                 def iter_fn(hi_flat, lo_flat, dpr_flat, rhs_flat):
-                    return pallas_iter(hi_flat, hi_flat, hi_flat,
-                                       lo_flat, lo_flat, lo_flat,
+                    return pallas_iter(*([hi_flat] * (M + 2)),
+                                       *([lo_flat] * (M + 2)),
                                        dpr_flat, rhs_flat, *rows_c)
 
             def pack(pr, dprdtau, rhs3d):
@@ -642,4 +696,5 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
     iter_fn.slab = B
     iter_fn.mode = mode
     iter_fn.folded = folded
+    iter_fn.mrows = M if mode == "blocked" else 1
     return iter_fn, pack, unpack

@@ -202,3 +202,47 @@ def test_full_step_compat_with_pallas():
         a = np.asarray(getattr(st_ref, name))
         b = np.asarray(getattr(st_pal, name))
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("extended", [False, True])
+@pytest.mark.parametrize("mrows", [2, 4])
+def test_folded_mrows_matches_m1(extended, mrows):
+    """The M-row blocked fetch (M output slabs per grid step, Pr read as
+    M+2 blocks -> (M+2)/M passes instead of 3) is a pure pipeline
+    re-tiling: results must match the M=1 kernel to within compiler
+    rounding (XLA may contract FMAs differently per program, so exact
+    bitwise equality can miss by 1 ulp) over chained iterations — a halo
+    or indexing bug would show as O(1) divergence. Grid sized so S=4
+    exercises both M=2 and M=4."""
+    nx, ny, nz = 20, 6, 6
+    dx = dy = dz = 0.1
+    bc = PoissonBCSpec(True, None, np.zeros(ny * nz))
+    rng = np.random.default_rng(11)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    pr = f32(rng.standard_normal((nx, ny, nz)))
+    dpr = np.zeros((nx, ny, nz))
+    dpr[1:-1, 1:-1, 1:-1] = rng.standard_normal((nx - 2, ny - 2, nz - 2))
+    dpr = f32(dpr)
+    rhs = f32(rng.standard_normal((nx, ny, nz)))
+
+    outs = []
+    for m in (1, mrows):
+        it, pack, unpack = build_poisson_iter(
+            nx, ny, nz, dx, dy, dz, dtau=0.01, damp=0.9, bc=bc,
+            dtype=jnp.float32, slab=5, interpret=True, mode="blocked",
+            folded=True, extended=extended, mrows=m)
+        assert it.mrows == m
+        if extended:
+            hi, lo, df, rf = pack(pr, dpr, rhs)
+            for _ in range(3):
+                hi, lo, df = it(hi, lo, df, rf)
+            outs.append(unpack(hi, lo, df))
+        else:
+            pp, df, rf = pack(pr, dpr, rhs)
+            for _ in range(3):
+                pp, df = it(pp, df, rf)
+            outs.append(unpack(pp, df))
+    for a, b in zip(outs[0], outs[1]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=1e-6)
