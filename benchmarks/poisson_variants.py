@@ -167,7 +167,7 @@ def main(argv=None):
         @jax.jit
         def run_pallas(pp, df):
             return jax.lax.fori_loop(
-                0, K, lambda _, c: iter_fn(*c, rf), (pp, df))
+                0, K, lambda _, c: iter_fn(*c, rf)[:2], (pp, df))
 
         timeit(f"pallas-{iter_fn.mode}(B={iter_fn.slab})", run_pallas, pp, df)
 
@@ -184,7 +184,7 @@ def main(argv=None):
             @jax.jit
             def run_folded_pallas(pp, df):
                 return jax.lax.fori_loop(
-                    0, K, lambda _, c: iter_fn(*c, rf), (pp, df))
+                    0, K, lambda _, c: iter_fn(*c, rf)[:2], (pp, df))
 
             timeit(f"pallas-folded(B={iter_fn.slab},M={iter_fn.mrows})",
                    run_folded_pallas, pp, df)
@@ -198,7 +198,8 @@ def main(argv=None):
                 @jax.jit
                 def run_ext(hi, lo, df):
                     return jax.lax.fori_loop(
-                        0, K, lambda _, c: it_e(*c, rf_e), (hi, lo, df))
+                        0, K, lambda _, c: it_e(*c, rf_e)[:3],
+                        (hi, lo, df))
 
                 timeit(f"pallas-ext(B={it_e.slab},M={it_e.mrows})",
                        run_ext, hi, lo, df_e)

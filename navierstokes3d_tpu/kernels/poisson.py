@@ -251,16 +251,24 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 + (pltpu.roll(pc, 1, 1) - pc) * wzm[0:1, :])
         return lap, pc
 
+    def resid_max(resid, live, yzmask):
+        """Masked max|resid| of this block — the residual of the state
+        ENTERING the iteration, emitted so the convergence loop never
+        needs a separate residual pass (see ptloop.pt_loop_fused)."""
+        rm = jnp.abs(resid) * yzmask[0:1, :]
+        return jnp.max(jnp.where(live, rm, jnp.zeros_like(rm)))
+
     def compute_slab_folded(p_ext, d, r, gx, live, yzmask,
                             wyp, wym, wzp, wzm):
         """Folded slab math: no BC application — Dirichlet rows/lanes are
         frozen (live/yzmask exclude them from the update) and
         zero-gradient neighbors are dropped inside the lap."""
         lap, pc = lap_of_rows_folded(p_ext, gx, wyp, wym, wzp, wzm)
-        d_new = (d * decay + dtau_c * (lap - r)) * yzmask[0:1, :]
+        resid = lap - r
+        d_new = (d * decay + dtau_c * resid) * yzmask[0:1, :]
         d_new = jnp.where(live, d_new, jnp.zeros_like(d_new))
         q = pc + dtau_c * d_new
-        return q, d_new
+        return q, d_new, resid_max(resid, live, yzmask)
 
     def compute_slab_ext_folded(h_ext, l_ext, d, r, gx, live, yzmask,
                                 wyp, wym, wzp, wzm):
@@ -277,7 +285,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         ap = s - u
         bp = s - ap
         ql = (hc - ap) + (u - bp)
-        return s, ql, d_new
+        return s, ql, d_new, resid_max(resid, live, yzmask)
 
     def compute_slab(p_ext, d, r, gx, live, yzmask, jrow_r, zrow_r,
                      xlo_r, xhi_r):
@@ -287,7 +295,8 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         beyond the owned range on a padded grid stay identically zero).
         Returns (new_pr (B,W), new_dpr (B,W))."""
         lap, pc = lap_of_rows(p_ext)
-        d_new = (d * decay + dtau_c * (lap - r)) * yzmask[0:1, :]
+        resid = lap - r
+        d_new = (d * decay + dtau_c * resid) * yzmask[0:1, :]
         # interior-x rows only: ring (gx=0, nx-1) and ghosts keep
         # dPrdτ = 0; `where` also discards halo/pad garbage (even NaN).
         d_new = jnp.where(live, d_new, jnp.zeros_like(d_new))
@@ -295,7 +304,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         # ---- boundary conditions on the updated pressure ----
         q = apply_bc_rows(q, gx, jrow_r, zrow_r, xlo_r, xhi_r,
                           zlo_hi, zhi_hi)
-        return q, d_new
+        return q, d_new, resid_max(resid, live, yzmask)
 
     def compute_slab_ext(h_ext, l_ext, d, r, gx, live, yzmask, jrow_r,
                          zrow_r, xlo_r, xhi_r):
@@ -319,7 +328,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         ql = apply_bc_rows(ql, gx, jrow_r, zrow_r,
                            jnp.zeros_like(xlo_r), jnp.zeros_like(xhi_r),
                            zlo_lo, zhi_lo)
-        return q, ql, d_new
+        return q, ql, d_new, resid_max(resid, live, yzmask)
 
     # double-buffered block working set: blocked = 3 pr-in + dpr + rhs +
     # 2 out; extended doubles the pressure traffic (3 hi + 3 lo) and adds
@@ -474,25 +483,43 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             vmem_limit_bytes=int(min(live_rows_ * W * itemsize + 2 ** 22,
                                      110 * 2 ** 20)))
 
+        # single (1,1) SMEM accumulator (a (1,1) block per grid step is
+        # not a legal Mosaic tiling): the block index is constant so the
+        # buffer persists across the sequential grid steps and the kernel
+        # max-accumulates into it
+        err_shape = jax.ShapeDtypeStruct((1, 1), jdtype)
+        err_block = pl.BlockSpec((1, 1), (lambda s: (0, 0)),
+                                 memory_space=pltpu.SMEM)
+
+        def emit_err(err_out, sidx, rm):
+            @pl.when(sidx == 0)
+            def _():
+                err_out[0, 0] = rm
+
+            @pl.when(sidx != 0)
+            def _():
+                err_out[0, 0] = jnp.maximum(err_out[0, 0], rm)
+
         if not extended:
             def kernel(*refs):
                 prs = refs[:M + 2]
                 if dist:
                     (dpr, rhs, row0, row1, row2, row3, row4,
-                     hlo, xoff, pr_out, dpr_out) = refs[M + 2:]
+                     hlo, xoff, pr_out, dpr_out, err_out) = refs[M + 2:]
                     x_off = xoff[0, 0]
                 else:
                     (dpr, rhs, row0, row1, row2, row3, row4,
-                     pr_out, dpr_out) = refs[M + 2:]
+                     pr_out, dpr_out, err_out) = refs[M + 2:]
                     hlo = None
                     x_off = 0
                 sidx = pl.program_id(0)
                 gx, live = rows_of(sidx, x_off)
                 p_ext = p_ext_of(sidx, prs, hlo)
-                q, d_new = slab_fn(p_ext, dpr[:, :], rhs[:, :], gx,
-                                   live, row0, row1, row2, row3, row4)
+                q, d_new, rm = slab_fn(p_ext, dpr[:, :], rhs[:, :], gx,
+                                       live, row0, row1, row2, row3, row4)
                 pr_out[:, :] = q
                 dpr_out[:, :] = d_new
+                emit_err(err_out, sidx, rm)
 
             in_specs = [row_block(off) for off in range(-1, M + 1)]  # pr
             in_specs += [
@@ -505,9 +532,9 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             pallas_iter = pl.pallas_call(
                 kernel,
                 grid=(G,),
-                out_shape=(slab_shape, slab_shape),
+                out_shape=(slab_shape, slab_shape, err_shape),
                 in_specs=in_specs,
-                out_specs=(big_block(), big_block()),
+                out_specs=(big_block(), big_block(), err_block),
                 compiler_params=compiler_params,
                 cost_estimate=cost,
                 interpret=interpret,
@@ -535,23 +562,24 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 if dist:
                     (dpr, rhs, row0, row1, row2, row3, row4,
                      h_hlo, l_hlo, xoff,
-                     hi_out, lo_out, dpr_out) = refs[2 * (M + 2):]
+                     hi_out, lo_out, dpr_out, err_out) = refs[2 * (M + 2):]
                     x_off = xoff[0, 0]
                 else:
                     (dpr, rhs, row0, row1, row2, row3, row4,
-                     hi_out, lo_out, dpr_out) = refs[2 * (M + 2):]
+                     hi_out, lo_out, dpr_out, err_out) = refs[2 * (M + 2):]
                     h_hlo = l_hlo = None
                     x_off = 0
                 sidx = pl.program_id(0)
                 gx, live = rows_of(sidx, x_off)
                 h_ext = p_ext_of(sidx, his, h_hlo)
                 l_ext = p_ext_of(sidx, los, l_hlo)
-                q, ql, d_new = slab_fn_ext(
+                q, ql, d_new, rm = slab_fn_ext(
                     h_ext, l_ext, dpr[:, :], rhs[:, :], gx, live,
                     row0, row1, row2, row3, row4)
                 hi_out[:, :] = q
                 lo_out[:, :] = ql
                 dpr_out[:, :] = d_new
+                emit_err(err_out, sidx, rm)
 
             in_specs = [row_block(off) for off in range(-1, M + 1)]  # hi
             in_specs += [row_block(off) for off in range(-1, M + 1)]  # lo
@@ -565,9 +593,10 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             pallas_iter = pl.pallas_call(
                 kernel,
                 grid=(G,),
-                out_shape=(slab_shape, slab_shape, slab_shape),
+                out_shape=(slab_shape, slab_shape, slab_shape, err_shape),
                 in_specs=in_specs,
-                out_specs=(big_block(), big_block(), big_block()),
+                out_specs=(big_block(), big_block(), big_block(),
+                           err_block),
                 compiler_params=compiler_params,
                 cost_estimate=cost,
                 interpret=interpret,
@@ -592,6 +621,51 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
 
             def unpack(hi_flat, lo_flat, dpr_flat):
                 return unflat(hi_flat), unflat(lo_flat), unflat(dpr_flat)
+
+        if not dist:
+            # Residual check evaluated directly in the flattened (NXP, W)
+            # layout: unpacking to (nx, ny, nz) for the jnp folded lap is
+            # a lane-retiling transpose that costs ~15 ms per check on v5e
+            # at 255^3-scale (measured: 453 ms of a 1.23 s step was checks,
+            # benchmarks/step_breakdown.py) — the same masked
+            # difference-first lap over lane rolls costs ~1 ms. The
+            # arithmetic reproduces _folded_lap_fn's per-element order
+            # exactly (mask-multiply then /dx/dx divisions) so iteration
+            # counts keep matching the jnp folded backend.
+            mk = lambda a: jnp.asarray(a.astype(np.dtype(dtype)))
+            myp = mk(jrow != ny - 2)
+            mym = mk(jrow != 1)
+            mzp = mk(zrow != nz - 2)
+            mzm = mk(zrow != 1)
+            gcol = np.arange(1, NXP - 1)[:, None]  # global x of sliced rows
+            mxm = mk((gcol != 1) if bc.zero_grad_x
+                     else np.ones_like(gcol, bool))
+            live_b = jnp.asarray((gcol <= nx - 2)
+                                 & (yz_interior > 0).astype(bool))
+
+            def flat_lap(p):
+                pc = p[1:-1, :]
+                xp = p[2:, :] - pc
+                xm = p[:-2, :] - pc
+                yp = jnp.roll(pc, -nz, 1) - pc
+                ym = jnp.roll(pc, nz, 1) - pc
+                zp = jnp.roll(pc, -1, 1) - pc
+                zm = jnp.roll(pc, 1, 1) - pc
+                return ((xp + mxm * xm) / dx / dx
+                        + (myp * yp + mym * ym) / dy / dy
+                        + (mzp * zp + mzm * zm) / dz / dz)
+
+            if extended:
+                def residual_flat(hi_flat, lo_flat, rhs_flat):
+                    rp = ((flat_lap(hi_flat) - rhs_flat[1:-1, :])
+                          + flat_lap(lo_flat))
+                    return jnp.max(jnp.where(live_b, jnp.abs(rp), 0))
+            else:
+                def residual_flat(p_flat, rhs_flat):
+                    rp = flat_lap(p_flat) - rhs_flat[1:-1, :]
+                    return jnp.max(jnp.where(live_b, jnp.abs(rp), 0))
+
+            iter_fn.residual_flat = residual_flat
 
     elif mode == "dma":
         def kernel(pr_pad, dpr, rhs, yzmask, jrow_r, zrow_r, xlo_r, xhi_r,
@@ -629,7 +703,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
 
                 gx = s * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
                 live = jnp.logical_and(gx >= 1, gx <= nx - 2)
-                q, d_new = compute_slab(
+                q, d_new, _ = compute_slab(
                     pr_buf[slot], dpr_buf[slot], rhs_buf[slot], gx, live,
                     yzmask, jrow_r, zrow_r, xlo_r, xhi_r)
                 opr_buf[:] = q
@@ -697,4 +771,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
     iter_fn.mode = mode
     iter_fn.folded = folded
     iter_fn.mrows = M if mode == "blocked" else 1
+    # blocked-mode iter_fn returns a trailing (G, 1) per-step masked
+    # max|resid| of the ENTERING state (see ptloop.pt_loop_fused)
+    iter_fn.emits_err = mode == "blocked"
     return iter_fn, pack, unpack

@@ -39,7 +39,7 @@ from ..grid import Grid, make_grid
 from ..ops import physics as ph
 from ..ops.advect import advect
 from ..ops.cylinder import CylinderMasks, apply_cylinder, build_masks
-from ..ptloop import pt_loop
+from ..ptloop import pt_loop, pt_loop_fused
 from ..state import FlowState, StepStats, zeros_state
 
 
@@ -424,6 +424,7 @@ class ChorinSolver:
 
         extended = self.extended and dtype == jnp.float32
 
+        err_scale = (grid.ly * grid.ly) / phys.psc
         if extended:
             # Double-single iterate (NumericsConfig.extended_precision):
             # pr is carried as a (hi, lo) float32 pair. lap(hi)+lap(lo) ==
@@ -437,61 +438,40 @@ class ChorinSolver:
                 bp = s - ap
                 return s, (a - ap) + (b - bp)
 
-            def folded_iter(_, carry):
+            def step_fn(carry, it):
                 hi, lo, dpr = carry
                 resid = (lap_folded(hi) - rhs) + lap_folded(lo)
                 dpr = dpr.at[1:-1, 1:-1, 1:-1].set(
                     dpr[1:-1, 1:-1, 1:-1] * (1.0 - damp) + dtau * resid)
                 hi, lo = two_sum(hi, lo + dtau * dpr)
-                return (hi, lo, dpr)
-
-            def run_folded(prc, dpr, n):
-                hi, lo, dpr = lax.fori_loop(0, n, folded_iter,
-                                            (*prc, dpr))
-                return (hi, lo), dpr
-
-            def residual_err(prc):
-                hi, lo = prc
-                rp = (lap_folded(hi) - rhs) + lap_folded(lo)
-                return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
+                return ((hi, lo, dpr),
+                        jnp.max(jnp.abs(resid)) * err_scale, jnp.int32(1))
         else:
-            def folded_iter(_, carry):
+            def step_fn(carry, it):
                 pr, dpr = carry
                 resid = lap_folded(pr) - rhs
                 dpr = dpr.at[1:-1, 1:-1, 1:-1].set(
                     dpr[1:-1, 1:-1, 1:-1] * (1.0 - damp) + dtau * resid)
                 pr = pr + dtau * dpr
-                return (pr, dpr)
-
-            def run_folded(pr, dpr, n):
-                return lax.fori_loop(0, n, folded_iter, (pr, dpr))
-
-            def residual_err(pr):
-                rp = lap_folded(pr) - rhs
-                return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
+                return ((pr, dpr),
+                        jnp.max(jnp.abs(resid)) * err_scale, jnp.int32(1))
 
         # iteration 1 in exact form (reads incoming boundary planes),
         # then freeze the Dirichlet planes via set_bc_pr.
         pr, dprdtau = ph.poisson_iter(pr, dprdtau, divv, rho, dt, dtau,
                                       damp, dx, dy, dz)
         pr = self.set_bc_pr(pr)
-        prc = (pr, jnp.zeros_like(pr)) if extended else pr
+        carry0 = ((pr, jnp.zeros_like(pr), dprdtau) if extended
+                  else (pr, dprdtau))
 
-        def run_iters(prc, dpr, n, k):
-            # chunk 0 already ran its first iteration in exact form
-            return lax.cond(
-                k == 0,
-                lambda c: run_folded(*c, n - 1),
-                lambda c: run_folded(*c, n),
-                (prc, dpr))
-
-        prc, dprdtau, iters, err, hist = pt_loop(
-            run_iters, residual_err, prc, dprdtau, nchunks, grid.nchk, rem,
-            eps_it, dtype, stall=self._stall)
+        carry, iters, err, hist = pt_loop_fused(
+            step_fn, carry0, 1, nchunks * grid.nchk + rem, grid.nchk,
+            nchunks, eps_it, dtype, stall=self._stall)
+        dprdtau = carry[-1]
         # materialize the zero-gradient boundary planes of the final state
         # (extended: hi absorbs lo through the two_sum renormalization, so
         # hi IS the correctly-rounded f32 field)
-        pr = self.set_bc_pr(prc[0] if extended else prc)
+        pr = self.set_bc_pr(carry[0])
         return pr, dprdtau, StepStats(iters=iters, err=err, err_hist=hist)
 
     def _poisson_solve_pallas(self, pr, dprdtau, divv, max_chunks=None):
@@ -517,12 +497,10 @@ class ChorinSolver:
             # the affine-z constants into the RHS, run iteration 1 in
             # exact form (reads incoming boundary planes like the
             # reference), freeze the Dirichlet planes via set_bc_pr, and
-            # evaluate residuals with the folded Laplacian. Identical
+            # drive convergence off the kernel-emitted residual. Identical
             # numerics to _poisson_solve_jnp_folded.
             rhs3d = rhs3d - jnp.asarray(self._z_hoist,
                                         self.dtype)[None, None, :]
-            rhs_int = rhs3d[1:-1, 1:-1, 1:-1].astype(self.dtype)
-            lap_folded = self._folded_lap_fn()
             pr, dprdtau = ph.poisson_iter(pr, dprdtau, divv, rho, dt,
                                           grid.dtau, grid.damp,
                                           grid.dx, grid.dy, grid.dz)
@@ -530,39 +508,43 @@ class ChorinSolver:
 
         # ---- phase 1: plain fused kernel (the fast path) ----
         pr_pad, dpr_f, rhs_f = pack(pr, dprdtau, rhs3d)
-
-        def run_iters(pr_pad, dpr_f, n, k):
-            if folded:
-                # chunk 0 already ran its first iteration in exact form
-                return lax.cond(
-                    k == 0,
-                    lambda c: _run_n(*c, n - 1),
-                    lambda c: _run_n(*c, n),
-                    (pr_pad, dpr_f))
-            return _run_n(pr_pad, dpr_f, n)
-
-        def _run_n(pr_pad, dpr_f, n):
-            return lax.fori_loop(
-                0, n, lambda _, c: iter_fn(*c, rhs_f), (pr_pad, dpr_f))
-
-        def residual_err(pr_pad):
-            pr3d, _ = unpack(pr_pad, dpr_f)
-            if folded:
-                rp = lap_folded(pr3d) - rhs_int
-            else:
-                rp = ph.poisson_residual(pr3d, divv, rho, dt,
-                                         grid.dx, grid.dy, grid.dz)
-            return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
+        err_scale = (grid.ly * grid.ly) / phys.psc
 
         # in hybrid mode phase 1's exit-at-plain-noise-floor IS the
         # handoff criterion, so a stall detector always runs here
         # (stall_exit=False only affects the final phase); the trailing
         # partial chunk belongs to the final phase.
         stall1 = self._stall or (num.stall_ratio, num.stall_checks)
-        pr_pad, dpr_f, it1, err1, hist1 = pt_loop(
-            run_iters, residual_err,
-            pr_pad, dpr_f, nchunks, grid.nchk, 0 if hybrid else rem,
-            eps_it, self.dtype, stall=stall1 if hybrid else self._stall)
+        if folded:
+            # flat iteration-level loop on the kernel-emitted residual
+            # (ptloop.pt_loop_fused); the exact first iteration above is
+            # global iteration 1.
+            def step1(carry, it):
+                pp, df = carry
+                pp, df, ec = iter_fn(pp, df, rhs_f)
+                return (pp, df), jnp.max(ec) * err_scale, jnp.int32(1)
+
+            (pr_pad, dpr_f), it1, err1, hist1 = pt_loop_fused(
+                step1, (pr_pad, dpr_f), 1,
+                nchunks * grid.nchk + (0 if hybrid else rem),
+                grid.nchk, nchunks, eps_it, self.dtype,
+                stall=stall1 if hybrid else self._stall)
+        else:
+            def run_iters(pr_pad, dpr_f, n, k):
+                return lax.fori_loop(
+                    0, n, lambda _, c: iter_fn(*c, rhs_f)[:2],
+                    (pr_pad, dpr_f))
+
+            def residual_err(pr_pad):
+                pr3d, _ = unpack(pr_pad, dpr_f)
+                rp = ph.poisson_residual(pr3d, divv, rho, dt,
+                                         grid.dx, grid.dy, grid.dz)
+                return jnp.max(jnp.abs(rp)) * err_scale
+
+            pr_pad, dpr_f, it1, err1, hist1 = pt_loop(
+                run_iters, residual_err,
+                pr_pad, dpr_f, nchunks, grid.nchk, 0 if hybrid else rem,
+                eps_it, self.dtype, stall=stall1 if hybrid else self._stall)
         pr1, dpr1 = unpack(pr_pad, dpr_f)
         if not hybrid:
             if folded:
@@ -581,32 +563,42 @@ class ChorinSolver:
 
         def phase2(args):
             pr1, dpr1 = args
-            hi_f, lo_f, dpf, rhf = pack_e(pr1, dpr1, rhs3d)
+            hi_f, lo_f, dpf0, rhf = pack_e(pr1, dpr1, rhs3d)
 
-            def run_iters_e(prc, dpf, n):
-                hi, lo, dpf = lax.fori_loop(
-                    0, n, lambda _, c: iter_e(*c, rhf), (*prc, dpf))
-                return (hi, lo), dpf
+            if folded:
+                def step2(carry, it):
+                    hi, lo, dpf = carry
+                    hi, lo, dpf, ec = iter_e(hi, lo, dpf, rhf)
+                    return ((hi, lo, dpf),
+                            jnp.max(ec) * err_scale, jnp.int32(1))
 
-            def residual_err_e(prc):
-                hi3, lo3, _ = unpack_e(*prc, prc[0])
-                # difference-first lap: the d2 form's eps*|hi| evaluation
-                # noise would floor the metric above eps_it. (The folded
-                # lap is already difference-first.)
-                if folded:
-                    rp = (lap_folded(hi3) - rhs_int) + lap_folded(lo3)
-                else:
+                (hi, lo, dpf), it2, err2, hist2 = pt_loop_fused(
+                    step2, (hi_f, lo_f, dpf0), 0,
+                    nchunks * grid.nchk + rem, grid.nchk, nchunks,
+                    eps_it, self.dtype, stall=self._stall)
+                prc = (hi, lo)
+            else:
+                def run_iters_e(prc, dpf, n):
+                    hi, lo, dpf = lax.fori_loop(
+                        0, n, lambda _, c: iter_e(*c, rhf)[:3],
+                        (*prc, dpf))
+                    return (hi, lo), dpf
+
+                def residual_err_e(prc):
+                    hi3, lo3, _ = unpack_e(*prc, prc[0])
+                    # difference-first lap: the d2 form's eps*|hi|
+                    # evaluation noise would floor the metric above eps_it
                     rp = ((stc.laplacian_inner_ds(hi3, grid.dx, grid.dy,
                                                   grid.dz)
                            - (rho / dt) * stc.inn(divv))
                           + stc.laplacian_inner_ds(lo3, grid.dx, grid.dy,
                                                    grid.dz))
-                return jnp.max(jnp.abs(rp)) * (grid.ly * grid.ly) / phys.psc
+                    return jnp.max(jnp.abs(rp)) * err_scale
 
-            prc, dpf, it2, err2, hist2 = pt_loop(
-                lambda p, d, n, k: run_iters_e(p, d, n), residual_err_e,
-                (hi_f, lo_f), dpf, nchunks, grid.nchk, rem, eps_it,
-                self.dtype, stall=self._stall)
+                prc, dpf, it2, err2, hist2 = pt_loop(
+                    lambda p, d, n, k: run_iters_e(p, d, n),
+                    residual_err_e, (hi_f, lo_f), dpf0, nchunks,
+                    grid.nchk, rem, eps_it, self.dtype, stall=self._stall)
             # hi is the correctly-rounded f32 field (two_sum renormalized)
             pr2, _, dpr2 = unpack_e(*prc, dpf)
             return pr2, dpr2, it2, err2, hist2

@@ -23,7 +23,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..ptloop import pt_loop
+from ..ptloop import pt_loop, pt_loop_fused
 
 AXES = ("x", "y", "z")
 
@@ -254,7 +254,10 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
     def run_batch(pr, dpr, rhs, m, prof_pad):
         """m iterations on m-deep halo-padded blocks: one exchange of
         Pr/dPrdτ/rhs, then m local width-1 sweeps whose halo validity
-        shrinks inward one cell per sweep (owned cells stay exact)."""
+        shrinks inward one cell per sweep (owned cells stay exact).
+        Also returns the owned-cell masked max|resid| of the LAST sweep
+        (the pt_loop_fused check quantity; at owned cells it equals the
+        width-1 schedule's value up to FMA scheduling)."""
         (_, iyd, izd), _ = _device_pos()
         # padded-extent hydrostatic tiles (values at domain-edge pads are
         # never consumed)
@@ -267,8 +270,15 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
         dpp = halo_pad(dpr, width=m)
         rhp = halo_pad(rhs, width=m)
         maskp = local_interior_mask(prp.shape, off=m)[1:-1, 1:-1, 1:-1]
+        ish = tuple(d - 2 for d in prp.shape)
+        own = jnp.ones(ish, bool)
+        for ax, b_ax in enumerate((bx, by, bz)):
+            ii = lax.broadcasted_iota(jnp.int32, ish, ax)
+            own = own & (ii >= m - 1) & (ii < m - 1 + b_ax)
+        e = jnp.zeros((), pr.dtype)
         for _ in range(m):
             resid = lap_of(prp) - rhp[1:-1, 1:-1, 1:-1]
+            e = jnp.max(jnp.where(maskp & own, jnp.abs(resid), 0.0))
             inner = jnp.where(
                 maskp,
                 dpp[1:-1, 1:-1, 1:-1] * (1.0 - damp) + dtau * resid,
@@ -278,7 +288,7 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
             prp = _bc_pr_local_padded(prp, variant, xlo_p, xhi_p, m,
                                       z_lo_add, z_hi_add)
         sl = slice(m, -m)
-        return prp[sl, sl, sl], dpp[sl, sl, sl]
+        return prp[sl, sl, sl], dpp[sl, sl, sl], e
 
     def residual_local(pr, rhs, mask):
         pad = halo_pad(pr)
@@ -334,50 +344,40 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
                 from_right = _shift(flat[0:1, :], "x", -1)
                 return from_left, flat.at[bx:bx + 1, :].set(from_right)
 
+            pall = lambda e: lax.pmax(lax.pmax(lax.pmax(e, "x"), "y"), "z")
+            # flat iteration-level loop on the kernel-emitted residual
+            # (ptloop.pt_loop_fused); the pmax keeps the while condition
+            # replicated across the mesh.
             if extended:
                 hi0, lo0, dpf0, rhf = packed
-                prc0 = (hi0, lo0)
+                carry0 = (hi0, lo0, dpf0)
 
-                def one_iter(c):
-                    (hi, lo), dpf = c
+                def step_fn(c, it):
+                    hi, lo, dpf = c
                     h_lo, hi = face_rows(hi)
                     l_lo, lo = face_rows(lo)
-                    hi, lo, dpf = p_iter(hi, lo, dpf, rhf,
-                                         h_lo, l_lo, x_off)
-                    return ((hi, lo), dpf)
-
-                def residual(prc):
-                    hi3, lo3, _ = p_unpack(*prc, prc[0])
-                    rp = (lap_of_ds(halo_pad(hi3)) - rhs
-                          + lap_of_ds(halo_pad(lo3)))
-                    local_max = jnp.max(jnp.where(mask, jnp.abs(rp), 0.0))
-                    return lax.pmax(lax.pmax(lax.pmax(
-                        local_max, "x"), "y"), "z") * err_scale
+                    hi, lo, dpf, ec = p_iter(hi, lo, dpf, rhf,
+                                             h_lo, l_lo, x_off)
+                    return ((hi, lo, dpf),
+                            pall(jnp.max(ec)) * err_scale, jnp.int32(1))
             else:
                 hi0, dpf0, rhf = packed
-                prc0 = hi0
+                carry0 = (hi0, dpf0)
 
-                def one_iter(c):
+                def step_fn(c, it):
                     hi, dpf = c
                     h_lo, hi = face_rows(hi)
-                    hi, dpf = p_iter(hi, dpf, rhf, h_lo, x_off)
-                    return (hi, dpf)
+                    hi, dpf, ec = p_iter(hi, dpf, rhf, h_lo, x_off)
+                    return ((hi, dpf),
+                            pall(jnp.max(ec)) * err_scale, jnp.int32(1))
 
-                def residual(prc):
-                    hi3, _ = p_unpack(prc, prc)
-                    return residual_local(hi3, rhs, mask) * err_scale
-
-            def run_iters(prc, dpf, n, kc):
-                return lax.fori_loop(0, n, lambda _, c: one_iter(c),
-                                     (prc, dpf))
-
-            prc, dpf, iters, err, hist = pt_loop(
-                run_iters, residual, prc0, dpf0, nchunks, nchk, rem,
-                eps_it, dtype, stall=stall)
+            carry, iters, err, hist = pt_loop_fused(
+                step_fn, carry0, 0, niter, nchk, nchunks, eps_it, dtype,
+                stall=stall)
             if extended:
-                pr3, _, dpr3 = p_unpack(*prc, dpf)
+                pr3, _, dpr3 = p_unpack(*carry)
             else:
-                pr3, dpr3 = p_unpack(prc, dpf)
+                pr3, dpr3 = p_unpack(*carry)
             return pr3, dpr3, iters, err, hist
 
         if not wrap:
@@ -405,26 +405,43 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
         xplane = lax.dynamic_slice(profj, (ys, zs), (by, bz))
         xlo = xplane + jnp.asarray(100.0, dtype)
         xhi = xplane
+        pall = lambda e: lax.pmax(lax.pmax(lax.pmax(e, "x"), "y"), "z")
 
-        def run_iters(pr, dpr, n):
-            if k == 1:
-                return lax.fori_loop(
-                    0, n,
-                    lambda _, c: loop_body_local(*c, rhs, mask, xlo, xhi),
-                    (pr, dpr))
-            nb, rem_b = n // k, n % k
-            pr, dpr = lax.fori_loop(
-                0, nb,
-                lambda _, c: run_batch(*c, rhs, k, prof_pad),
-                (pr, dpr))
-            if rem_b:
-                pr, dpr = run_batch(pr, dpr, rhs, rem_b, prof_pad)
-            return pr, dpr
+        # flat iteration-level loop on the in-body residual
+        # (ptloop.pt_loop_fused: the chunked nesting costs ~2x per
+        # iteration on TPU); the all-reduced err keeps the while condition
+        # replicated across the mesh.
+        if k == 1:
+            def step_fn(c, it):
+                pr, dpr = c
+                pad = halo_pad(pr)
+                resid = lap_of(pad) - rhs
+                e = jnp.max(jnp.where(mask, jnp.abs(resid), 0.0))
+                dpr = jnp.where(mask, dpr * (1.0 - damp) + dtau * resid,
+                                jnp.zeros_like(dpr))
+                pr = pr + dtau * dpr
+                pr = _bc_pr_local(pr, variant, xlo, xhi, z_lo_add,
+                                  z_hi_add)
+                return (pr, dpr), pall(e) * err_scale, jnp.int32(1)
+        else:
+            # batches of up to k sweeps per exchange, clipped so no batch
+            # crosses a chunk boundary or the iteration budget (checks
+            # stay aligned with the width-1 schedule)
+            branches = [
+                (lambda c, _j=j: run_batch(c[0], c[1], rhs, _j, prof_pad))
+                for j in range(1, k + 1)]
 
-        pr, dpr, iters, err, hist = pt_loop(
-            lambda p, d, n, kc: run_iters(p, d, n),
-            lambda p: residual_local(p, rhs, mask) * err_scale,
-            pr, dpr, nchunks, nchk, rem, eps_it, dtype, stall=stall)
+            def step_fn(c, it):
+                pos = it % nchk
+                m = jnp.minimum(jnp.minimum(jnp.int32(k), nchk - pos),
+                                niter - it)
+                m = jnp.maximum(m, 1)
+                pr, dpr, e = lax.switch(m - 1, branches, c)
+                return (pr, dpr), pall(e) * err_scale, m
+
+        (pr, dpr), iters, err, hist = pt_loop_fused(
+            step_fn, (pr, dpr), 0, niter, nchk, nchunks, eps_it, dtype,
+            stall=stall)
         return pr, dpr, iters, err, hist
 
     if not wrap:

@@ -24,6 +24,78 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def pt_loop_fused(step_fn: Callable, carry, it0: int, niter: int,
+                  nchk: int, nchunks: int, eps_it: float, dtype,
+                  stall: Optional[Tuple[float, int]] = None):
+    """Flat single-level while_loop over ITERATIONS, for backends whose
+    iteration emits its own residual max.
+
+    step_fn(carry, it) -> (carry, err_raw, nadv): advance nadv iterations
+    (1 for plain backends; the halo-batched path advances k per exchange,
+    breaking batches at chunk boundaries so checks stay aligned), with
+    err_raw the masked max|lap(p) - rhs| of the state ENTERING the last
+    iteration performed (the quantity the damped update already computes
+    — so convergence checks cost nothing). In a sharded context step_fn
+    must all-reduce err_raw (pmax) so the loop condition is replicated.
+
+    Why flat: nesting a fori_loop of pallas_call/fusion bodies inside an
+    outer chunk loop makes XLA:TPU insert per-iteration HBM copies around
+    the body (measured 161.6 vs 83.8 us/iter at 255x153x153 f32 on v5e);
+    a single-level while with only scalar/small carries alongside the
+    field carries runs at flat-fori speed (84.6 us/iter measured).
+
+    Convergence semantics (vs pt_loop): the k-th check value is the
+    residual of the state entering iteration k*nchk — one iteration
+    staler than pt_loop's post-chunk evaluation. Exit decisions still
+    happen only at chunk boundaries (err only changes there); past the
+    last full chunk the remaining niter budget runs unchecked (the
+    reference's trailing partial chunk, NavierStokes3D_gpu.jl:126-137).
+    All fused backends share this definition so cross-backend
+    iteration-count equality holds.
+
+    it0: iterations already performed outside the loop (the folded
+    protocol's exact first iteration). Returns (carry, iters, err, hist).
+    """
+    big = jnp.asarray(1e30, dtype)
+    stall_on = stall is not None
+    ratio, window = stall if stall_on else (0.0, 1)
+    window = max(int(window), 1)
+    thresh = ratio ** window
+    nhist = max(nchunks, 1)
+    n_checked = nchunks * nchk
+
+    def stalled_of(err, errbuf):
+        return (err > thresh * errbuf[0]) & (errbuf[0] < big)
+
+    def cond(st):
+        _, it, err, _, errbuf = st
+        ok = (it < niter) & (err >= eps_it) & jnp.isfinite(err)
+        if stall_on:
+            ok = ok & jnp.logical_not(stalled_of(err, errbuf))
+        return ok
+
+    def body(st):
+        carry, it, err, hist, errbuf = st
+        carry, e, nadv = step_fn(carry, it)
+        it = it + nadv
+        at_chk = ((it % nchk) == 0) & (it <= n_checked)
+        k = jnp.clip(it // nchk - 1, 0, nhist - 1)
+        err = jnp.where(at_chk, e.astype(dtype), err)
+        hist = hist.at[k].set(jnp.where(at_chk, e.astype(hist.dtype),
+                                        hist[k]))
+        errbuf = jnp.where(at_chk,
+                           jnp.concatenate([errbuf[1:],
+                                            e.astype(dtype)[None]]),
+                           errbuf)
+        return carry, it, err, hist, errbuf
+
+    hist0 = jnp.full((nhist,), jnp.nan, dtype)
+    errbuf0 = jnp.full((window + 1,), big, dtype)
+    carry, it, err, hist, errbuf = lax.while_loop(
+        cond, body, (carry, jnp.int32(it0), big, hist0, errbuf0))
+    return carry, it, err, hist
+
+
 def pt_loop(run_iters: Callable, residual_err: Callable, pr, dpr,
             nchunks: int, nchk: int, rem: int, eps_it: float, dtype,
             stall: Optional[Tuple[float, int]] = None):
