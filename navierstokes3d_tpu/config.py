@@ -135,6 +135,23 @@ class NumericsConfig:
     # is still far cheaper than burning the full budget at the floor).
     # None = auto: on when pressure_split is active and dtype is float32.
     extended_precision: Optional[bool] = None
+    # Accuracy phase of the hybrid Pallas Poisson solve, run after the
+    # plain float32 phase stalls at its noise floor:
+    #   'defect'   — restarted defect correction: evaluate the residual
+    #                r0 ONCE with compensated arithmetic (error
+    #                ~eps*|r0| instead of eps*|rhs|; kernels/poisson.py
+    #                compensated_residual), then solve lap(delta) = -r0
+    #                with the PLAIN kernel — its residual scale is |r0|,
+    #                so float32 genuinely reaches eps_it at ~half the
+    #                per-iteration cost of the extended pair.
+    #   'extended' — double-single continuation (the extended_precision
+    #                iterate as the second phase).
+    #   'none'     — single plain phase only.
+    # None = auto: 'defect' when the Pallas path is active and the
+    # extended trigger condition holds (pressure_split + float32),
+    # 'extended' on the jnp path (which runs the pair from the start and
+    # reproduces the Float64 reference's iteration counts), else 'none'.
+    accuracy: Optional[str] = None
     # Poisson stall exit: stop iterating when the residual improved by
     # less than stall_ratio**stall_checks over the last `stall_checks`
     # residual checks — the iterate has converged to its noise floor and

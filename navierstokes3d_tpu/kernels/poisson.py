@@ -667,6 +667,85 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
 
             iter_fn.residual_flat = residual_flat
 
+            # --- compensated residual (defect-correction restarts) ---
+            # A single f32 evaluation of lap(p) - rhs carries rounding
+            # ~eps*|rhs|; at the showcase gpu preset |rhs|~5e7, flooring
+            # the observable residual near 2e-3 in err units — above
+            # eps_it. This evaluation tracks every first-order rounding
+            # term (two_sum diffs, Dekker products against f64-split
+            # weights, compensated accumulation), so its error is
+            # ~eps*|resid| instead: accurate enough both to DEFINE the
+            # correction problem lap(delta) = -r0 and to report an honest
+            # final err. Runs once per restart (~1-2 fused HBM passes).
+            spl = np.float32(4097.0)  # Veltkamp split factor, f32 (2^12+1)
+
+            def _split(a):
+                t = a * spl
+                hi = t - (t - a)
+                return hi, a - hi
+
+            def _two_sum(a, b):
+                s = a + b
+                bp = s - a
+                return s, (a - (s - bp)) + (b - bp)
+
+            def _wpair(mask_row, h):
+                """(1,W) f64 weight mask/h^2 as a (hi, lo, hi1, hi2) f32
+                quad: hi+lo ~ f64 weight, (hi1, hi2) the Veltkamp split
+                of hi (precomputed; Dekker needs both factors split)."""
+                w64 = mask_row.astype(np.float64) / h / h
+                w_hi = w64.astype(np.float32)
+                w_lo = (w64 - w_hi).astype(np.float32)
+                t = w_hi * np.float32(4097.0)
+                w1 = t - (t - w_hi)
+                w2 = w_hi - w1
+                return tuple(map(mk, (w_hi, w_lo, w1, w2)))
+
+            wq_yp = _wpair(jrow != ny - 2, dy)
+            wq_ym = _wpair(jrow != 1, dy)
+            wq_zp = _wpair(zrow != nz - 2, dz)
+            wq_zm = _wpair(zrow != 1, dz)
+            one_row = np.ones((1, W))
+            wq_x = _wpair(one_row, dx)
+
+            def _term(dh, dl, wq):
+                """Exact-ish dh*w as a (prod, err) pair; dl folded in at
+                first order."""
+                w_hi, w_lo, w1, w2 = wq
+                a1, a2 = _split(dh)
+                p = dh * w_hi
+                e = ((a1 * w1 - p) + a1 * w2 + a2 * w1) + a2 * w2
+                e = e + (dh * w_lo + dl * w_hi)
+                return p, e
+
+            def compensated_residual(p_flat, rhs_flat):
+                pc = p_flat[1:-1, :]
+                pairs = []
+                dh, dl = _two_sum(p_flat[2:, :], -pc)
+                pairs.append(_term(dh, dl, wq_x))
+                dh, dl = _two_sum(p_flat[:-2, :], -pc)
+                if bc.zero_grad_x:
+                    z = jnp.zeros_like(dh)
+                    g1 = gcol == 1
+                    dh = jnp.where(g1, z, dh)
+                    dl = jnp.where(g1, z, dl)
+                pairs.append(_term(dh, dl, wq_x))
+                for shift, wq in ((-nz, wq_yp), (nz, wq_ym),
+                                  (-1, wq_zp), (1, wq_zm)):
+                    dh, dl = _two_sum(jnp.roll(pc, shift, 1), -pc)
+                    pairs.append(_term(dh, dl, wq))
+                pairs.append((-rhs_flat[1:-1, :], jnp.zeros_like(pc)))
+                s, c = pairs[0]
+                for p_i, e_i in pairs[1:]:
+                    s, t = _two_sum(s, p_i)
+                    c = c + (t + e_i)
+                r = jnp.where(live_b, s + c, jnp.zeros_like(s))
+                ring = jnp.zeros((1, W), r.dtype)
+                r_full = jnp.concatenate([ring, r, ring], axis=0)
+                return r_full, jnp.max(jnp.abs(r))
+
+            iter_fn.compensated_residual = compensated_residual
+
     elif mode == "dma":
         def kernel(pr_pad, dpr, rhs, yzmask, jrow_r, zrow_r, xlo_r, xhi_r,
                    pr_out, dpr_out,

@@ -109,6 +109,7 @@ def test_extended_pallas_matches_folded():
     # stability bound (nx=16 has dy < dx = dtau-base -> divergent PT)
     cfg = ns.preset_gpu(nx=20, nt=1, compat=False, dtype="float32",
                         use_pallas=True)
+    cfg = _num(cfg, accuracy="extended")
     s = ns.ChorinSolver(cfg)
     assert s._pallas is not None and s._pallas_ext is not None
     g = s.grid
@@ -209,3 +210,99 @@ def test_split_io_reconstruction():
     zc = g.zc()
     expect = -(zc - g.lz / 2) * phys.rho * phys.g
     np.testing.assert_allclose(pr_full[3, 4, :], expect, rtol=1e-6)
+
+
+def test_compensated_residual_matches_f64_oracle():
+    """kernels/poisson.py compensated_residual: with rhs constructed as
+    the f64 folded lap of a known field, the true residual is only the
+    f32 representation error of rhs (~eps*|rhs|) — a naive f32 evaluation
+    over-reports it several-fold, while the compensated evaluation must
+    match the f64 oracle to ulp-level."""
+    from navierstokes3d_tpu.kernels.poisson import (PoissonBCSpec,
+                                                    build_poisson_iter)
+    nx, ny, nz = 24, 10, 10
+    dx = dy = dz = 0.004
+    rng = np.random.default_rng(7)
+    bc = PoissonBCSpec(True, None, np.zeros(ny * nz))
+    it, pack, unpack = build_poisson_iter(
+        nx, ny, nz, dx, dy, dz, dtau=0.01, damp=0.9, bc=bc,
+        dtype=jnp.float32, interpret=True, mode="blocked", folded=True)
+    p = (rng.standard_normal((nx, ny, nz)) * 100).astype(np.float32)
+    p64 = p.astype(np.float64)
+    axm = np.ones((nx - 2, 1, 1)); axm[0, 0, 0] = 0.0
+    ayp = np.ones((1, ny - 2, 1)); ayp[0, -1, 0] = 0
+    aym = np.ones((1, ny - 2, 1)); aym[0, 0, 0] = 0
+    azp = np.ones((1, 1, nz - 2)); azp[0, 0, -1] = 0
+    azm = np.ones((1, 1, nz - 2)); azm[0, 0, 0] = 0
+
+    def lap64(q):
+        qc = q[1:-1, 1:-1, 1:-1]
+        l = ((q[2:, 1:-1, 1:-1] - qc) + axm * (q[:-2, 1:-1, 1:-1] - qc)) \
+            / dx / dx
+        l += (ayp * (q[1:-1, 2:, 1:-1] - qc)
+              + aym * (q[1:-1, :-2, 1:-1] - qc)) / dy / dy
+        l += (azp * (q[1:-1, 1:-1, 2:] - qc)
+              + azm * (q[1:-1, 1:-1, :-2] - qc)) / dz / dz
+        return l
+
+    rhs = np.zeros((nx, ny, nz), np.float32)
+    rhs[1:-1, 1:-1, 1:-1] = lap64(p64).astype(np.float32)
+    oracle = lap64(p64) - rhs[1:-1, 1:-1, 1:-1].astype(np.float64)
+    pp, _, rf = pack(jnp.asarray(p), jnp.zeros((nx, ny, nz), jnp.float32),
+                     jnp.asarray(rhs))
+    r0, emax = jax.jit(it.compensated_residual)(pp, rf)
+    got = np.asarray(jnp.reshape(r0[:nx, :ny * nz], (nx, ny, nz))
+                     )[1:-1, 1:-1, 1:-1]
+    assert np.abs(rhs).max() > 1e7  # the large-dynamic-range regime
+    np.testing.assert_allclose(got, oracle, rtol=0,
+                               atol=1e-5 * np.abs(oracle).max())
+    naive = float(jax.jit(it.residual_flat)(pp, rf))
+    assert naive > 2 * np.abs(oracle).max()  # naive f32 over-reports
+    assert abs(float(emax) - np.abs(oracle).max()) \
+        < 1e-5 * np.abs(oracle).max()
+
+
+def test_defect_correction_converges_beyond_plain_floor():
+    """Default Pallas accuracy phase (restarted defect correction): with
+    eps_it below the plain-f32 noise floor the correction phase must run
+    and the HONEST (compensated) reported err must be met — validated
+    against an independent f64 residual of the returned field."""
+    cfg = ns.preset_gpu(nx=20, nt=1, compat=False, dtype="float32",
+                        use_pallas=True)
+    # eps sits between the plain-f32 stall floor (~6e-4 here) and the
+    # returned-field representation floor (~1.3e-4: any single f32 field
+    # carries resid ~eps32*|p|*6/h^2 regardless of how it was computed)
+    eps = 2e-4
+    cfg = _num(cfg, eps_it=eps)
+    s = ns.ChorinSolver(cfg)
+    assert s.acc_pallas == "defect" and s._pallas_ext is None
+    g = s.grid
+    rng = np.random.default_rng(3)
+
+    def smooth(shape, scale):
+        a = rng.standard_normal(shape)
+        for ax in range(3):
+            a = 0.5 * a + 0.25 * (np.roll(a, 1, ax) + np.roll(a, -1, ax))
+        return jnp.asarray(a * scale, jnp.float32)
+
+    pr = smooth(g.shape_c, 200.0)
+    dpr = jnp.zeros(g.shape_c, jnp.float32)
+    divv = smooth(g.shape_c, 0.05)
+    p1, d1, st = s._poisson_solve_pallas(pr, dpr, divv)
+    assert int(st.iters_ext) > 0, "correction phase must have run"
+    assert float(st.err) < eps, float(st.err)
+    # independent f64 residual of the returned field
+    lap64 = s._folded_lap_fn()
+    rho, dt = cfg.physics.rho, g.dt
+    p64 = jnp.asarray(np.asarray(p1, np.float64))
+    rhs64 = ((rho / dt) * jnp.asarray(np.asarray(divv, np.float64))
+             )[1:-1, 1:-1, 1:-1] \
+        - jnp.asarray(s._z_hoist[1:-1], jnp.float64)[None, None, :]
+    rp = np.asarray(lap64(p64)) - np.asarray(rhs64)
+    true_err = np.abs(rp).max() * (g.ly * g.ly) / cfg.physics.psc
+    # the reported err is the ITERATE's residual (p1 (+) delta before the
+    # final f32 rounding); the returned single-f32 field re-adds its
+    # representation noise (~eps32*|p|*6/h^2, the floor for ANY f32
+    # storage) — the f64 oracle must still be within a small multiple of
+    # eps, far below the plain-phase stall floor (~6e-4 here)
+    assert true_err < 3 * eps, true_err

@@ -190,7 +190,8 @@ def test_shard_map_pallas_composition(extended):
     cfg = preset(nx=40, nt=1, compat=False, dtype="float32",
                  use_pallas=True)
     cfg = cfg.replace(numerics=dataclasses.replace(
-        cfg.numerics, niter_scale=1, stall_exit=False))
+        cfg.numerics, niter_scale=1, stall_exit=False,
+        accuracy="extended" if extended else None))
     solver = ns.ChorinSolver(cfg)
     assert solver._pallas is not None
     assert (solver._pallas_ext is not None) == extended
