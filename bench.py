@@ -111,16 +111,19 @@ def main():
 
     # HBM roofline for the executed iteration mix: the plain fused kernel
     # must move >= 5 grid arrays per iteration (read Pr/dprdtau/rhs, write
-    # Pr/dprdtau); the extended (double-single) kernel of the hybrid solve
-    # moves 7 (the pressure is an (hi,lo) pair). Speed-of-light time is
-    # the byte-weighted sum over the mix actually run.
+    # Pr/dprdtau). The accuracy phase's iterations (stats.iters_ext) are
+    # plain-kernel defect-correction iterations under the default
+    # accuracy mode (5 passes); only accuracy='extended' runs the
+    # double-single kernel (7 passes, (hi,lo) pair). Speed-of-light time
+    # is the byte-weighted sum over the mix actually run.
     itemsize = np.dtype(args.dtype).itemsize
     cells = g.nx * g.ny * g.nz
     bw = device_hbm_gbps() * 1e9
     t_plain = 5 * cells * itemsize / bw
-    t_ext = 7 * cells * itemsize / bw
+    acc = getattr(solver, "acc_pallas", "extended")
+    t_acc = (7 if acc == "extended" else 5) * cells * itemsize / bw
     total_plain = total_iters - total_ext
-    roofline_wall = total_plain * t_plain + total_ext * t_ext
+    roofline_wall = total_plain * t_plain + total_ext * t_acc
     frac = roofline_wall / wall
     log(f"time/step={time_per_step:.3f}s iters/s={iters_per_sec:.0f} "
         f"(plain {total_plain}, extended {total_ext}); "

@@ -268,7 +268,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         d_new = (d * decay + dtau_c * resid) * yzmask[0:1, :]
         d_new = jnp.where(live, d_new, jnp.zeros_like(d_new))
         q = pc + dtau_c * d_new
-        return q, d_new, resid_max(resid, live, yzmask)
+        return q, d_new, resid
 
     def compute_slab_ext_folded(h_ext, l_ext, d, r, gx, live, yzmask,
                                 wyp, wym, wzp, wzm):
@@ -285,7 +285,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         ap = s - u
         bp = s - ap
         ql = (hc - ap) + (u - bp)
-        return s, ql, d_new, resid_max(resid, live, yzmask)
+        return s, ql, d_new, resid
 
     def compute_slab(p_ext, d, r, gx, live, yzmask, jrow_r, zrow_r,
                      xlo_r, xhi_r):
@@ -304,7 +304,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         # ---- boundary conditions on the updated pressure ----
         q = apply_bc_rows(q, gx, jrow_r, zrow_r, xlo_r, xhi_r,
                           zlo_hi, zhi_hi)
-        return q, d_new, resid_max(resid, live, yzmask)
+        return q, d_new, resid
 
     def compute_slab_ext(h_ext, l_ext, d, r, gx, live, yzmask, jrow_r,
                          zrow_r, xlo_r, xhi_r):
@@ -328,7 +328,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         ql = apply_bc_rows(ql, gx, jrow_r, zrow_r,
                            jnp.zeros_like(xlo_r), jnp.zeros_like(xhi_r),
                            zlo_lo, zhi_lo)
-        return q, ql, d_new, resid_max(resid, live, yzmask)
+        return q, ql, d_new, resid
 
     # double-buffered block working set: blocked = 3 pr-in + dpr + rhs +
     # 2 out; extended doubles the pressure traffic (3 hi + 3 lo) and adds
@@ -491,6 +491,16 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         err_block = pl.BlockSpec((1, 1), (lambda s: (0, 0)),
                                  memory_space=pltpu.SMEM)
 
+        one_flag = jnp.ones((1, 1), jnp.int32)
+
+        def _as_flag(v):
+            """do_chk operand: None (tests/simple callers) = always emit;
+            loop bodies pass (it+1) % nchk == 0 so the ~20%-cost reduce
+            runs only on consumed iterations."""
+            if v is None:
+                return one_flag
+            return jnp.asarray(v, jnp.int32).reshape(1, 1)
+
         def emit_err(err_out, sidx, rm):
             @pl.when(sidx == 0)
             def _():
@@ -505,21 +515,29 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 prs = refs[:M + 2]
                 if dist:
                     (dpr, rhs, row0, row1, row2, row3, row4,
-                     hlo, xoff, pr_out, dpr_out, err_out) = refs[M + 2:]
+                     hlo, xoff, chk, pr_out, dpr_out,
+                     err_out) = refs[M + 2:]
                     x_off = xoff[0, 0]
                 else:
                     (dpr, rhs, row0, row1, row2, row3, row4,
-                     pr_out, dpr_out, err_out) = refs[M + 2:]
+                     chk, pr_out, dpr_out, err_out) = refs[M + 2:]
                     hlo = None
                     x_off = 0
                 sidx = pl.program_id(0)
                 gx, live = rows_of(sidx, x_off)
                 p_ext = p_ext_of(sidx, prs, hlo)
-                q, d_new, rm = slab_fn(p_ext, dpr[:, :], rhs[:, :], gx,
-                                       live, row0, row1, row2, row3, row4)
+                q, d_new, resid = slab_fn(p_ext, dpr[:, :], rhs[:, :], gx,
+                                          live, row0, row1, row2, row3,
+                                          row4)
                 pr_out[:, :] = q
                 dpr_out[:, :] = d_new
-                emit_err(err_out, sidx, rm)
+
+                # the reduce costs ~20% of the iteration; run it only on
+                # iterations whose value the convergence loop consumes
+                @pl.when(chk[0, 0] != 0)
+                def _():
+                    emit_err(err_out, sidx,
+                             resid_max(resid, live, row0))
 
             in_specs = [row_block(off) for off in range(-1, M + 1)]  # pr
             in_specs += [
@@ -529,6 +547,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             ]
             if dist:
                 in_specs += [lane_row, smem_scalar]
+            in_specs += [smem_scalar]                         # chk flag
             pallas_iter = pl.pallas_call(
                 kernel,
                 grid=(G,),
@@ -541,13 +560,16 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             )
 
             if dist:
-                def iter_fn(pr_flat, dpr_flat, rhs_flat, hlo, x_off):
+                def iter_fn(pr_flat, dpr_flat, rhs_flat, hlo, x_off,
+                            do_chk=None):
                     return pallas_iter(*([pr_flat] * (M + 2)), dpr_flat,
-                                       rhs_flat, *rows_c, hlo, x_off)
+                                       rhs_flat, *rows_c, hlo, x_off,
+                                       _as_flag(do_chk))
             else:
-                def iter_fn(pr_flat, dpr_flat, rhs_flat):
+                def iter_fn(pr_flat, dpr_flat, rhs_flat, do_chk=None):
                     return pallas_iter(*([pr_flat] * (M + 2)), dpr_flat,
-                                       rhs_flat, *rows_c)
+                                       rhs_flat, *rows_c,
+                                       _as_flag(do_chk))
 
             def pack(pr, dprdtau, rhs3d):
                 return zpack(pr), zpack(dprdtau), zpack(rhs3d)
@@ -561,11 +583,11 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 los = refs[M + 2:2 * (M + 2)]
                 if dist:
                     (dpr, rhs, row0, row1, row2, row3, row4,
-                     h_hlo, l_hlo, xoff,
+                     h_hlo, l_hlo, xoff, chk,
                      hi_out, lo_out, dpr_out, err_out) = refs[2 * (M + 2):]
                     x_off = xoff[0, 0]
                 else:
-                    (dpr, rhs, row0, row1, row2, row3, row4,
+                    (dpr, rhs, row0, row1, row2, row3, row4, chk,
                      hi_out, lo_out, dpr_out, err_out) = refs[2 * (M + 2):]
                     h_hlo = l_hlo = None
                     x_off = 0
@@ -573,13 +595,17 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 gx, live = rows_of(sidx, x_off)
                 h_ext = p_ext_of(sidx, his, h_hlo)
                 l_ext = p_ext_of(sidx, los, l_hlo)
-                q, ql, d_new, rm = slab_fn_ext(
+                q, ql, d_new, resid = slab_fn_ext(
                     h_ext, l_ext, dpr[:, :], rhs[:, :], gx, live,
                     row0, row1, row2, row3, row4)
                 hi_out[:, :] = q
                 lo_out[:, :] = ql
                 dpr_out[:, :] = d_new
-                emit_err(err_out, sidx, rm)
+
+                @pl.when(chk[0, 0] != 0)
+                def _():
+                    emit_err(err_out, sidx,
+                             resid_max(resid, live, row0))
 
             in_specs = [row_block(off) for off in range(-1, M + 1)]  # hi
             in_specs += [row_block(off) for off in range(-1, M + 1)]  # lo
@@ -590,6 +616,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             ]
             if dist:
                 in_specs += [lane_row, lane_row, smem_scalar]
+            in_specs += [smem_scalar]                         # chk flag
             pallas_iter = pl.pallas_call(
                 kernel,
                 grid=(G,),
@@ -604,16 +631,19 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
 
             if dist:
                 def iter_fn(hi_flat, lo_flat, dpr_flat, rhs_flat,
-                            h_hlo, l_hlo, x_off):
+                            h_hlo, l_hlo, x_off, do_chk=None):
                     return pallas_iter(*([hi_flat] * (M + 2)),
                                        *([lo_flat] * (M + 2)),
                                        dpr_flat, rhs_flat, *rows_c,
-                                       h_hlo, l_hlo, x_off)
+                                       h_hlo, l_hlo, x_off,
+                                       _as_flag(do_chk))
             else:
-                def iter_fn(hi_flat, lo_flat, dpr_flat, rhs_flat):
+                def iter_fn(hi_flat, lo_flat, dpr_flat, rhs_flat,
+                            do_chk=None):
                     return pallas_iter(*([hi_flat] * (M + 2)),
                                        *([lo_flat] * (M + 2)),
-                                       dpr_flat, rhs_flat, *rows_c)
+                                       dpr_flat, rhs_flat, *rows_c,
+                                       _as_flag(do_chk))
 
             def pack(pr, dprdtau, rhs3d):
                 return (zpack(pr), jnp.zeros((NXP, W), jdtype),

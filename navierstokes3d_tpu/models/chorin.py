@@ -538,19 +538,29 @@ class ChorinSolver:
         # (stall_exit=False only affects the final phase); the trailing
         # partial chunk belongs to the final phase.
         stall1 = self._stall or (num.stall_ratio, num.stall_checks)
+        # Defect mode hands off EARLY (at 1000x eps_it) instead of waiting
+        # for a deep stall: the correction phase continues the same PT
+        # trajectory (dPrdtau carried over) with strictly better
+        # arithmetic — every residual evaluation against |r0| instead of
+        # |rhs| — so phase 1's only job is shrinking |r0| enough that the
+        # correction's own noise floor (~eps32 * |r0|-in-err-units) sits
+        # far below eps_it; 1000x leaves >3 orders of margin while
+        # skipping the ~6-chunk stall-detection latency at the floor.
+        eps1 = eps_it * (1000.0 if defect else 1.0)
         if folded:
             # flat iteration-level loop on the kernel-emitted residual
             # (ptloop.pt_loop_fused); the exact first iteration above is
             # global iteration 1.
             def step1(carry, it):
                 pp, df = carry
-                pp, df, ec = iter_fn(pp, df, rhs_f)
+                pp, df, ec = iter_fn(pp, df, rhs_f,
+                                     (it + 1) % grid.nchk == 0)
                 return (pp, df), jnp.max(ec) * err_scale, jnp.int32(1)
 
             (pr_pad, dpr_f), it1, err1, hist1 = pt_loop_fused(
                 step1, (pr_pad, dpr_f), 1,
                 nchunks * grid.nchk + (0 if hybrid else rem),
-                grid.nchk, nchunks, eps_it, self.dtype,
+                grid.nchk, nchunks, eps1, self.dtype,
                 stall=stall1 if hybrid else self._stall)
         else:
             def run_iters(pr_pad, dpr_f, n, k):
@@ -601,7 +611,8 @@ class ChorinSolver:
                 rhs_c = -r0
 
                 def stepd(carry, it):
-                    dl, dd, ec = iter_fn(*carry, rhs_c)
+                    dl, dd, ec = iter_fn(*carry, rhs_c,
+                                         (it + 1) % grid.nchk == 0)
                     return ((dl, dd),
                             jnp.max(ec) * err_scale, jnp.int32(1))
 
@@ -655,7 +666,8 @@ class ChorinSolver:
             if folded:
                 def step2(carry, it):
                     hi, lo, dpf = carry
-                    hi, lo, dpf, ec = iter_e(hi, lo, dpf, rhf)
+                    hi, lo, dpf, ec = iter_e(hi, lo, dpf, rhf,
+                                             (it + 1) % grid.nchk == 0)
                     return ((hi, lo, dpf),
                             jnp.max(ec) * err_scale, jnp.int32(1))
 

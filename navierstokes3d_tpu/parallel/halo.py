@@ -357,7 +357,8 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
                     h_lo, hi = face_rows(hi)
                     l_lo, lo = face_rows(lo)
                     hi, lo, dpf, ec = p_iter(hi, lo, dpf, rhf,
-                                             h_lo, l_lo, x_off)
+                                             h_lo, l_lo, x_off,
+                                             (it + 1) % nchk == 0)
                     return ((hi, lo, dpf),
                             pall(jnp.max(ec)) * err_scale, jnp.int32(1))
             else:
@@ -367,7 +368,8 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
                 def step_fn(c, it):
                     hi, dpf = c
                     h_lo, hi = face_rows(hi)
-                    hi, dpf, ec = p_iter(hi, dpf, rhf, h_lo, x_off)
+                    hi, dpf, ec = p_iter(hi, dpf, rhf, h_lo, x_off,
+                                         (it + 1) % nchk == 0)
                     return ((hi, dpf),
                             pall(jnp.max(ec)) * err_scale, jnp.int32(1))
 
