@@ -548,12 +548,18 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             if dist:
                 in_specs += [lane_row, smem_scalar]
             in_specs += [smem_scalar]                         # chk flag
+            # alias dpr in -> dpr out: its blocks are read and written at
+            # the SAME grid index (no cross-step overlap, unlike pr's
+            # halo windows), so in-place is race-free — and it removes a
+            # per-iteration 24MB carry copy XLA otherwise inserts in the
+            # convergence while-loop (one was VMEM-staged at ~32us/iter)
             pallas_iter = pl.pallas_call(
                 kernel,
                 grid=(G,),
                 out_shape=(slab_shape, slab_shape, err_shape),
                 in_specs=in_specs,
                 out_specs=(big_block(), big_block(), err_block),
+                input_output_aliases={M + 2: 1},
                 compiler_params=compiler_params,
                 cost_estimate=cost,
                 interpret=interpret,
@@ -617,6 +623,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             if dist:
                 in_specs += [lane_row, lane_row, smem_scalar]
             in_specs += [smem_scalar]                         # chk flag
+            # same dpr in->out aliasing as the plain kernel
             pallas_iter = pl.pallas_call(
                 kernel,
                 grid=(G,),
@@ -624,6 +631,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 in_specs=in_specs,
                 out_specs=(big_block(), big_block(), big_block(),
                            err_block),
+                input_output_aliases={2 * (M + 2): 2},
                 compiler_params=compiler_params,
                 cost_estimate=cost,
                 interpret=interpret,

@@ -605,45 +605,39 @@ class ChorinSolver:
             n2 = nchunks * grid.nchk + rem
             r0, emax = comp(pr_pad, rhs_f)
             errh = emax * err_scale
+            rhs_c = -r0
 
-            def run(args):
-                p_pad, d_f = args
-                rhs_c = -r0
+            def stepd(carry, it):
+                dl, dd, ec = iter_fn(*carry, rhs_c,
+                                     (it + 1) % grid.nchk == 0)
+                return ((dl, dd),
+                        jnp.max(ec) * err_scale, jnp.int32(1))
 
-                def stepd(carry, it):
-                    dl, dd, ec = iter_fn(*carry, rhs_c,
-                                         (it + 1) % grid.nchk == 0)
-                    return ((dl, dd),
-                            jnp.max(ec) * err_scale, jnp.int32(1))
-
-                # delta starts at 0 but dprdtau CARRIES OVER: by
-                # linearity the correction then continues the phase-1
-                # trajectory exactly (resid is the same quantity), just
-                # evaluated against the small |r0| instead of |rhs| —
-                # resetting dpr would relaunch the marginal PT wave
-                # transients from a rough forcing and stall.
-                (dl, dd), itc, errc, hc = pt_loop_fused(
-                    stepd, (jnp.zeros_like(p_pad), d_f),
-                    0, n2, grid.nchk, nchunks, eps_it, self.dtype,
-                    stall=self._stall)
-                return p_pad + dl, dd, itc, errc, hc
-
-            def skip(args):
-                return args[0], args[1], jnp.int32(0), errh, hist_nan
-
+            # delta starts at 0 but dprdtau CARRIES OVER: by linearity
+            # the correction then continues the phase-1 trajectory
+            # exactly (resid is the same quantity), just evaluated
+            # against the small |r0| instead of |rhs| — resetting dpr
+            # would relaunch the marginal PT wave transients from a
+            # rough forcing and stall. Seeding err0=errh makes the loop
+            # itself a no-op when phase 1 already converged — wrapping
+            # it in lax.cond instead would re-trigger the per-iteration
+            # copy penalty (ptloop.pt_loop_fused docstring).
+            #
             # Error semantics match the extended phase: the reported err
             # is the residual of the solution ITERATE p1 (+) delta (the
             # quantity the loop drives below eps_it). Rounding the sum
             # into the single returned float32 field re-adds the field's
-            # representation noise (~eps32*|p|*6/h^2 — ~1e-2 in err units
-            # at the 255 showcase grid, for ANY f32 storage scheme; the
-            # extended pair's rounded hi has the same floor). See
-            # docs/numerics.md; a second correction round can therefore
-            # never improve the stored field and is not attempted.
-            ran = (errh >= eps_it) & jnp.isfinite(errh)
-            p_pad, d_f, it2, err, hist2 = lax.cond(ran, run, skip,
-                                                   (pr_pad, dpr_f))
-            pr2, dpr2 = unpack(p_pad, d_f)
+            # representation noise (~eps32*|p|*6/h^2 — ~1e-2 in err
+            # units at the 255 showcase grid, for ANY f32 storage
+            # scheme; the extended pair's rounded hi has the same
+            # floor). See docs/numerics.md; a second correction round
+            # can therefore never improve the stored field and is not
+            # attempted.
+            (dl, d_f), it2, err, hist2 = pt_loop_fused(
+                stepd, (jnp.zeros_like(pr_pad), dpr_f),
+                0, n2, grid.nchk, nchunks, eps_it, self.dtype,
+                stall=self._stall, err0=errh)
+            pr2, dpr2 = unpack(pr_pad + dl, d_f)
             pr2 = self.set_bc_pr(pr2)
             hist = jnp.where(jnp.isnan(hist1),
                              jnp.roll(hist2, it1 // grid.nchk), hist1)

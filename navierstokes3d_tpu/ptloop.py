@@ -26,7 +26,8 @@ from jax import lax
 
 def pt_loop_fused(step_fn: Callable, carry, it0: int, niter: int,
                   nchk: int, nchunks: int, eps_it: float, dtype,
-                  stall: Optional[Tuple[float, int]] = None):
+                  stall: Optional[Tuple[float, int]] = None,
+                  err0=None):
     """Flat single-level while_loop over ITERATIONS, for backends whose
     iteration emits its own residual max.
 
@@ -54,7 +55,13 @@ def pt_loop_fused(step_fn: Callable, carry, it0: int, niter: int,
     iteration-count equality holds.
 
     it0: iterations already performed outside the loop (the folded
-    protocol's exact first iteration). Returns (carry, iters, err, hist).
+    protocol's exact first iteration). err0: initial err (default: a
+    sentinel that cannot trigger the eps exit) — pass the caller's
+    already-known residual to make the loop a no-op when it is below
+    eps_it, instead of wrapping the loop in lax.cond: conditional
+    control flow around a pallas-call loop re-triggers the per-iteration
+    copy penalty this loop exists to avoid. Returns
+    (carry, iters, err, hist).
     """
     big = jnp.asarray(1e30, dtype)
     stall_on = stall is not None
@@ -91,8 +98,9 @@ def pt_loop_fused(step_fn: Callable, carry, it0: int, niter: int,
 
     hist0 = jnp.full((nhist,), jnp.nan, dtype)
     errbuf0 = jnp.full((window + 1,), big, dtype)
+    e0 = big if err0 is None else jnp.asarray(err0, dtype)
     carry, it, err, hist, errbuf = lax.while_loop(
-        cond, body, (carry, jnp.int32(it0), big, hist0, errbuf0))
+        cond, body, (carry, jnp.int32(it0), e0, hist0, errbuf0))
     return carry, it, err, hist
 
 
