@@ -183,8 +183,20 @@ class ChorinSolver:
         if not want:
             return
         nyz = grid.ny * grid.nz
-        if choose_slab(grid.nx, nyz, np.dtype(self.dtype).itemsize) < 2:
-            return  # in-slab x BCs need >=2 planes per slab
+        slab = None
+        if mode == "blocked":
+            # blocked mode pads x to a multiple of the 8-row slab with
+            # inert ghost rows — no divisibility constraint (the old
+            # choose_slab divisor gate silently dropped the whole Pallas
+            # path for prime nx, e.g. 127). Only nx % B == 1 is illegal
+            # (the zero-grad hi source row would cross a block edge);
+            # step B up when it happens.
+            slab = next((b for b in (8, 16, 24) if grid.nx % b != 1),
+                        None)
+            if slab is None or grid.nx < 4:
+                return
+        elif choose_slab(grid.nx, nyz, np.dtype(self.dtype).itemsize) < 2:
+            return  # dma mode: in-slab x BCs need >=2 planes per slab
         bc = poisson_bc_spec(cfg.variant, grid, cfg.physics,
                              self.pressure_split)
         # Non-compat runs use the folded-BC kernel (BCs as dropped stencil
@@ -196,7 +208,7 @@ class ChorinSolver:
         self._pallas_folded = (not cfg.compat) and mode == "blocked"
         self._pallas = build_poisson_iter(
             grid.nx, grid.ny, grid.nz, grid.dx, grid.dy, grid.dz,
-            grid.dtau, grid.damp, bc, dtype=self.dtype,
+            grid.dtau, grid.damp, bc, dtype=self.dtype, slab=slab,
             interpret=interpret, mode=mode, folded=self._pallas_folded)
         # extended (double-single) kernel for the accuracy phase of the
         # hybrid solve (_poisson_solve_pallas); ~1.8x cost/iteration.
@@ -206,7 +218,7 @@ class ChorinSolver:
         if self.acc_pallas == "extended" and mode == "blocked":
             self._pallas_ext = build_poisson_iter(
                 grid.nx, grid.ny, grid.nz, grid.dx, grid.dy, grid.dz,
-                grid.dtau, grid.damp, bc, dtype=self.dtype,
+                grid.dtau, grid.damp, bc, dtype=self.dtype, slab=slab,
                 interpret=interpret, mode=mode, extended=True,
                 folded=self._pallas_folded)
 

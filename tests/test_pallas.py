@@ -246,3 +246,19 @@ def test_folded_mrows_matches_m1(extended, mrows):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(1.0, np.abs(a).max())
         np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("nx", [13, 17])
+def test_pallas_builds_for_prime_nx(nx):
+    """Prime nx (e.g. the 127 midscale grid) must still get the Pallas
+    path: blocked mode pads x to the slab multiple, so no divisor of nx
+    is needed (a stale divisor gate silently dropped the kernel and fell
+    back to the jnp path). nx % B == 1 shapes step the slab up instead."""
+    cfg = ns.preset_gpu(nx=nx, nt=1, compat=False, dtype="float32",
+                        use_pallas=True)
+    s = ns.ChorinSolver(cfg)
+    assert s._pallas is not None
+    assert s._pallas[0].slab % 8 == 0 and nx % s._pallas[0].slab != 1
+    st, stats = s.step_jit(s.init_state())
+    assert np.isfinite(np.asarray(st.pr)).all()
+    assert int(stats.iters) > 0
