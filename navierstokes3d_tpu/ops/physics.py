@@ -19,6 +19,16 @@ import jax.numpy as jnp
 from . import stencil as st
 
 
+def _pad1(a):
+    """Zero-pad an interior-shaped array back to full shape. Interior
+    updates are written as `full + _pad1(delta)` instead of
+    `.at[1:-1,1:-1,1:-1].add(delta)`: bit-identical (boundary + 0.0 is
+    exact), but the dynamic-update-slice form runs at ~90 GB/s on TPU
+    (unaligned-tile read-modify-write) vs ~2 TB/s for the padded
+    elementwise form — 21x measured at 255x153x153."""
+    return jnp.pad(a, 1)
+
+
 def update_tau(vx, vy, vz, mu, dx, dy, dz):
     """Deviatoric viscous stress on the staggered grid.
 
@@ -56,18 +66,18 @@ def predict_v(vx, vy, vz, txx, tyy, tzz, txy, txz, tyz, rho, g, dt, dx, dy, dz):
     fx = (  (txx[1:, 1:-1, 1:-1] - txx[:-1, 1:-1, 1:-1]) / dx   # @d_xi(τxx)
           + (txy[:, 1:, :-1]     - txy[:, :-1, :-1]) / dy       # @d_ya(τxy)
           + (txz[:, :-1, 1:]     - txz[:, :-1, :-1]) / dz)      # @d_za(τxz)
-    vx = vx.at[1:-1, 1:-1, 1:-1].add(dt / rho * fx)
+    vx = vx + _pad1(dt / rho * fx)
     # @inn(Vy) region: (nx-2, ny-1, nz-2)
     fy = (  (tyy[1:-1, 1:, 1:-1] - tyy[1:-1, :-1, 1:-1]) / dy   # @d_yi(τyy)
           + (txy[1:, :, :-1]     - txy[:-1, :, :-1]) / dx       # @d_xa(τxy)
           + (tyz[:-1, :, 1:]     - tyz[:-1, :, :-1]) / dz)      # @d_za(τyz)
-    vy = vy.at[1:-1, 1:-1, 1:-1].add(dt / rho * fy)
+    vy = vy + _pad1(dt / rho * fy)
     # @inn(Vz) region: (nx-2, ny-2, nz-1); body force -ρg inside the bracket
     fz = (  (tzz[1:-1, 1:-1, 1:] - tzz[1:-1, 1:-1, :-1]) / dz   # @d_zi(τzz)
           + (txz[1:, :-1, :]     - txz[:-1, :-1, :]) / dx       # @d_xa(τxz)
           + (tyz[:-1, 1:, :]     - tyz[:-1, :-1, :]) / dy       # @d_ya(τyz)
           - rho * g)
-    vz = vz.at[1:-1, 1:-1, 1:-1].add(dt / rho * fz)
+    vz = vz + _pad1(dt / rho * fz)
     return vx, vy, vz
 
 
@@ -90,8 +100,9 @@ def poisson_iter(pr, dprdtau, divv, rho, dt, dtau, damp, dx, dy, dz):
     """
     lap = st.laplacian_inner(pr, dx, dy, dz)
     resid = lap - (rho / dt) * st.inn(divv)
-    dprdtau = dprdtau.at[1:-1, 1:-1, 1:-1].set(
-        dprdtau[1:-1, 1:-1, 1:-1] * (1.0 - damp) + dtau * resid)
+    # ring values are zero by invariant, so the full-array form
+    # decay*ring + 0 == 0 reproduces the interior-set exactly
+    dprdtau = dprdtau * (1.0 - damp) + dtau * _pad1(resid)
     pr = pr + dtau * dprdtau
     return pr, dprdtau
 
@@ -109,10 +120,10 @@ def correct_v(vx, vy, vz, pr, dt, rho, dx, dy, dz):
 
     Reference: correct_V! (NavierStokes3D_gpu.jl:214-219).
     """
-    vx = vx.at[1:-1, 1:-1, 1:-1].add(
+    vx = vx + _pad1(
         -dt / rho * (pr[1:, 1:-1, 1:-1] - pr[:-1, 1:-1, 1:-1]) / dx)
-    vy = vy.at[1:-1, 1:-1, 1:-1].add(
+    vy = vy + _pad1(
         -dt / rho * (pr[1:-1, 1:, 1:-1] - pr[1:-1, :-1, 1:-1]) / dy)
-    vz = vz.at[1:-1, 1:-1, 1:-1].add(
+    vz = vz + _pad1(
         -dt / rho * (pr[1:-1, 1:-1, 1:] - pr[1:-1, 1:-1, :-1]) / dz)
     return vx, vy, vz
