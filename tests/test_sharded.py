@@ -66,8 +66,18 @@ def test_step_sharded_equals_single(compat):
 
 
 def test_three_steps_sharded_from_init():
-    """Multi-step sharded run from the real init stays finite and matches
-    single-device Poisson iteration counts (discrete, robust signature)."""
+    """Multi-step sharded run from the real init stays finite, matches
+    the single-device trajectory for the first two steps, and keeps
+    matching Poisson iteration counts while the trajectories agree.
+
+    The uniform-inflow init puts semi-Lagrangian departure points exactly
+    on the backtrack formula's floor() discontinuity (docs/roadmap.md),
+    where a 1-ulp cross-compilation difference between the single-device
+    and SPMD-partitioned programs legitimately flips an O(field) jump —
+    so per-step equality is asserted with a small tolerance and only
+    while the fields still agree (step 3 may diverge chaotically;
+    generic-state 3-step equality is covered by
+    test_step_sharded_equals_single)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     cfg = ns.preset_multi(nx=16, nt=3, compat=False)
@@ -77,11 +87,19 @@ def test_three_steps_sharded_from_init():
 
     st_single = solver.init_state()
     st_shard = shard_state(solver.init_state(), mesh)
-    for _ in range(3):
+    for k in range(3):
         st_single, stats_single = solver.step_jit(st_single)
         st_shard, stats_shard = step_sh(st_shard)
-        assert int(stats_single.iters) == int(stats_shard.iters)
+        if k < 2:
+            assert int(stats_single.iters) == int(stats_shard.iters)
+            for name in ("pr", "vx", "vy", "vz", "c"):
+                a = np.asarray(getattr(st_single, name))
+                b = np.asarray(getattr(st_shard, name))
+                scale = max(1.0, np.abs(a).max())
+                np.testing.assert_allclose(b / scale, a / scale, rtol=0,
+                                           atol=1e-5, err_msg=name)
     assert not np.isnan(np.asarray(st_shard.pr)).any()
+    assert np.isfinite(float(stats_shard.err))
 
 
 @pytest.mark.parametrize("variant", ["multi", "gpu"])
