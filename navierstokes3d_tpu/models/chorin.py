@@ -71,6 +71,10 @@ class ChorinSolver:
         self.advect_method = os.environ.get(
             "NS3D_ADVECT",
             "selectshift" if (on_accel and not cfg.compat) else "gather")
+        # select-shift window: (2k+2)^3 accumulation terms dominate the
+        # non-Poisson VPU cost; k=2 is a 2x margin over the CFL_adv=1
+        # displacement bound (ops/advect.py), clamp-counted beyond.
+        self.advect_k = int(os.environ.get("NS3D_ADVECT_K", "2"))
         self._init_pallas()
         self.step_jit = jax.jit(self.step, donate_argnums=0)
 
@@ -841,7 +845,8 @@ class ChorinSolver:
         vx, vy, vz, c, n_clamped = advect(vx, vy, vz, c, dt, dx, dy, dz,
                                           compat=self.cfg.compat,
                                           method=self.advect_method,
-                                          with_stats=True)
+                                          with_stats=True,
+                                          k=self.advect_k)
         new_state = FlowState(pr=pr, vx=vx, vy=vy, vz=vz, c=c,
                               dprdtau=dprdtau)
         return new_state, stats.replace(advect_clamped=n_clamped)

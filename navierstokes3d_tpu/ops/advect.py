@@ -164,7 +164,8 @@ def _backtrack_selectshift(a_o, vxc, vyc, vzc, starts, dt, dx, dy, dz,
 
 def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool,
            method: str = "gather", with_stats: bool = False,
-           origin=(0, 0, 0), gshape=None, set_fn=None):
+           origin=(0, 0, 0), gshape=None, set_fn=None,
+           k: int = SELECTSHIFT_K):
     """Advect all staggered velocity components and the tracer C.
 
     Inputs are the post-BC fields of this step; they serve as both the *_o
@@ -174,6 +175,11 @@ def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool,
     clamped to SELECTSHIFT_K cells).
     with_stats=True additionally returns the number of points whose
     displacement hit the select-shift clamp (always 0 for 'gather').
+    k: select-shift displacement window in cells ((2k+2)^3 accumulation
+    terms — the dominant VPU cost of the step's non-Poisson ops). The
+    solver defaults to k=2: the reference's fixed dt already assumes
+    |V| <= vin with CFL_adv = 1 (~1 cell/step), so 2 cells is a 2x
+    margin, and the clamp counter flags any excursion beyond it.
 
     Sharded composition (parallel/fullstep.py): the inputs may be
     halo-padded LOCAL blocks of the global fields. origin = per-axis
@@ -203,7 +209,7 @@ def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool,
         def bt(a_o, vxc, vyc, vzc, starts, gsh):
             nonlocal n_clamped
             vals, nc = _backtrack_selectshift(a_o, vxc, vyc, vzc, starts,
-                                              dt, dx, dy, dz,
+                                              dt, dx, dy, dz, k=k,
                                               origin=origin, gshape=gsh)
             n_clamped = n_clamped + nc
             return vals

@@ -430,7 +430,8 @@ def build_fullstep(solver, mesh: Mesh, use_pallas: bool | None = None):
         avx, avy, avz, ac, n_clamped = advect(
             vxp4, vyp4, vzp4, cp4, dt, dx, dy, dz, compat=compat,
             method=method, with_stats=True, origin=origin,
-            gshape=(nx, ny, nz), set_fn=set_masked)
+            gshape=(nx, ny, nz), set_fn=set_masked,
+            k=getattr(solver, "advect_k", 3))
         slK = (slice(K, K + bx), slice(K, K + by), slice(K, K + bz))
         vx, vy, vz, c = avx[slK], avy[slK], avz[slK], ac[slK]
         # advect never writes the hi-face planes (regions end at face n-1)
