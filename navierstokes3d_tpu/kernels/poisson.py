@@ -359,12 +359,16 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             env_b = os.environ.get("NS3D_PALLAS_SLAB")
             if env_b:
                 B = int(env_b)
-        if not interpret and (B % 8 or LR % B == 1):
-            # LR % B == 1 would put the zero-grad hi source row (nx-2) in
-            # a different block than its target (nx-1)
-            raise ValueError(f"blocked mode needs slab%8==0 and LR%B!=1, "
-                             f"got B={B}, LR={LR}")
-        if interpret and LR % B == 1:
+        # LR % B == 1 would put the zero-grad hi source row (nx-2) in a
+        # different block than its target (nx-1) — only the exact
+        # zero-grad-x roll (apply_bc_rows) has that cross-row dependency;
+        # folded and Dirichlet-x builds are unconstrained.
+        needs_bc_roll = bc.zero_grad_x and not folded
+        if not interpret and (B % 8 or (needs_bc_roll and LR % B == 1)):
+            raise ValueError(f"blocked mode needs slab%8==0 (and LR%B!=1 "
+                             f"with the zero-grad x roll), got B={B}, "
+                             f"LR={LR}")
+        if interpret and needs_bc_roll and LR % B == 1:
             B += 1  # keep the BC source row in-slab for odd test shapes
         # distributed shards need ghost row LR to exist: the caller writes
         # the +x neighbor's halo face there each iteration, making it the
@@ -844,10 +848,10 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 jax.ShapeDtypeStruct((nx + 2, W), jdtype),
                 jax.ShapeDtypeStruct((nx, W), jdtype),
             ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-            out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                       pl.BlockSpec(memory_space=pltpu.ANY)),
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pl.ANY)),
             scratch_shapes=[
                 pltpu.VMEM((2, B + 2, W), jdtype),
                 pltpu.VMEM((2, B, W), jdtype),
@@ -888,7 +892,8 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
     iter_fn.mode = mode
     iter_fn.folded = folded
     iter_fn.mrows = M if mode == "blocked" else 1
-    # blocked-mode iter_fn returns a trailing (G, 1) per-step masked
-    # max|resid| of the ENTERING state (see ptloop.pt_loop_fused)
+    # blocked-mode iter_fn returns a trailing (1, 1) SMEM-accumulated
+    # masked max|resid| of the ENTERING state, max-reduced across the
+    # kernel's grid steps (see ptloop.pt_loop_fused)
     iter_fn.emits_err = mode == "blocked"
     return iter_fn, pack, unpack

@@ -26,6 +26,7 @@ Loop equivalence with the reference's `for iter=1:niter ... break`:
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Tuple
 
 import jax
@@ -192,12 +193,22 @@ class ChorinSolver:
             # blocked mode pads x to a multiple of the 8-row slab with
             # inert ghost rows — no divisibility constraint (the old
             # choose_slab divisor gate silently dropped the whole Pallas
-            # path for prime nx, e.g. 127). Only nx % B == 1 is illegal
-            # (the zero-grad hi source row would cross a block edge);
-            # step B up when it happens.
-            slab = next((b for b in (8, 16, 24) if grid.nx % b != 1),
-                        None)
+            # path for prime nx, e.g. 127). nx % B == 1 is illegal only
+            # for the exact zero-grad-x roll (compat multi: the hi source
+            # row nx-2 would cross a block edge); folded and Dirichlet-x
+            # builds take any B.
+            needs_roll = cfg.compat and cfg.variant == "multi"
+            if needs_roll:
+                slab = next((b for b in (8, 16, 24) if grid.nx % b != 1),
+                            None)
+            else:
+                slab = 8
             if slab is None or grid.nx < 4:
+                warnings.warn(
+                    f"Pallas Poisson path disabled: nx={grid.nx} "
+                    "admits no slab size compatible with the exact "
+                    "zero-grad-x BC roll (nx % B == 1 for B in 8/16/24); "
+                    "falling back to the jnp backend", RuntimeWarning)
                 return
         elif choose_slab(grid.nx, nyz, np.dtype(self.dtype).itemsize) < 2:
             return  # dma mode: in-slab x BCs need >=2 planes per slab
@@ -612,11 +623,12 @@ class ChorinSolver:
             # ~eps*|r0|; kernels/poisson.py compensated_residual) and
             # solve lap(delta) = -r0 with the SAME plain kernel: the
             # correction problem's residual scale is |r0| (~5 orders
-            # smaller), so plain float32 genuinely reaches eps_it. Up to
-            # two rounds; each round's entry evaluation doubles as the
-            # honest convergence check of the incoming state, and the
-            # reported err is a compensated evaluation of the FINAL
-            # field (not the loop's own exit value).
+            # smaller), so plain float32 genuinely reaches eps_it. One
+            # round: its entry evaluation doubles as the honest
+            # convergence check of the incoming state, and the reported
+            # err is the loop's kernel-emitted exit residual of the
+            # correction iterate (see the error-semantics note below —
+            # a second round could never beat the stored-field floor).
             comp = iter_fn.compensated_residual
             n2 = nchunks * grid.nchk + rem
             r0, emax = comp(pr_pad, rhs_f)

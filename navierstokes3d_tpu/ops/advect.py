@@ -94,7 +94,8 @@ SELECTSHIFT_K = 3
 
 
 def _backtrack_selectshift(a_o, vxc, vyc, vzc, starts, dt, dx, dy, dz,
-                           k=SELECTSHIFT_K, origin=(0, 0, 0), gshape=None):
+                           k=SELECTSHIFT_K, origin=(0, 0, 0), gshape=None,
+                           count_box=None):
     """Gather-free backtrack!: the trilinear corners lie within a bounded
     (2k+2)^3 neighborhood, so the interpolation becomes a select-weighted
     stencil of static shifted slices — TPU-friendly (the XLA gather path
@@ -109,8 +110,10 @@ def _backtrack_selectshift(a_o, vxc, vyc, vzc, starts, dt, dx, dy, dz,
 
     Returns (values, n_clamped): n_clamped counts region points whose
     displacement exceeded k on any axis (where the result diverges from
-    the reference's gather semantics; on a sharded padded block the count
-    includes halo cells — see parallel/fullstep.py)."""
+    the reference's gather semantics). count_box: optional per-axis
+    (lo, hi) half-open 0-based LOCAL index bounds restricting the count
+    (a sharded caller passes its owned block so halo points — computed
+    redundantly on several devices — are not multi-counted)."""
     n1, n2, n3 = gshape if gshape is not None else a_o.shape
     og = origin
     dtype = a_o.dtype
@@ -133,7 +136,15 @@ def _backtrack_selectshift(a_o, vxc, vyc, vzc, starts, dt, dx, dy, dz,
     ox1, ox2, tx, cx = axis_terms(vxc, dx, 0, sx, rs[0], n1, og[0])
     oy1, oy2, ty, cy = axis_terms(vyc, dy, 1, sy, rs[1], n2, og[1])
     oz1, oz2, tz, cz = axis_terms(vzc, dz, 2, sz, rs[2], n3, og[2])
-    n_clamped = jnp.sum((cx | cy | cz).astype(jnp.int32))
+    clamped = cx | cy | cz
+    if count_box is not None:
+        for axis, (lo, hi) in enumerate(count_box):
+            local0 = jnp.arange(rs[axis]) + (starts[axis] - 1)
+            shape = [1, 1, 1]
+            shape[axis] = rs[axis]
+            clamped = clamped & ((local0 >= lo)
+                                 & (local0 < hi)).reshape(shape)
+    n_clamped = jnp.sum(clamped.astype(jnp.int32))
     P = k + 1
     ap = jnp.pad(a_o, P)
     one = jnp.ones((), dtype)
@@ -165,7 +176,7 @@ def _backtrack_selectshift(a_o, vxc, vyc, vzc, starts, dt, dx, dy, dz,
 def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool,
            method: str = "gather", with_stats: bool = False,
            origin=(0, 0, 0), gshape=None, set_fn=None,
-           k: int = SELECTSHIFT_K):
+           k: int = SELECTSHIFT_K, count_box=None):
     """Advect all staggered velocity components and the tracer C.
 
     Inputs are the post-BC fields of this step; they serve as both the *_o
@@ -191,6 +202,8 @@ def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool,
     is the branch's per-axis GLOBAL 1-based inclusive write range on the
     target's staggered index space (None = the axis's full range),
     letting a sharded caller mask writes to the branch's global region.
+    count_box: see _backtrack_selectshift — restricts the clamp count to
+    the caller's owned local cells.
     """
     nx1, ny, nz = vx.shape          # (nx+1, ny, nz)
     nx = nx1 - 1
@@ -210,7 +223,8 @@ def advect(vx, vy, vz, c, dt, dx, dy, dz, *, compat: bool,
             nonlocal n_clamped
             vals, nc = _backtrack_selectshift(a_o, vxc, vyc, vzc, starts,
                                               dt, dx, dy, dz, k=k,
-                                              origin=origin, gshape=gsh)
+                                              origin=origin, gshape=gsh,
+                                              count_box=count_box)
             n_clamped = n_clamped + nc
             return vals
     else:

@@ -17,8 +17,8 @@ schedule (NavierStokes3D_multi_gpu.jl:446-477):
                                   staggered-face halo — one face ppermute
   Pr halo in the loop       :462  parallel/halo.py solve (2 ppermutes/iter
                                   or the per-shard Pallas kernel)
-  update_halo!(Vx,Vy,Vz)    :477  velocity k=4 halo BEFORE advect (covers
-                                  the select-shift K=3 footprint + the
+  update_halo!(Vx,Vy,Vz)    :477  velocity k=advect_k+1 halo BEFORE advect
+                                  (covers the select-shift footprint + the
                                   trilinear corner)
 
 Owned-face layout: each velocity stores its n (not n+1) "owned" faces per
@@ -48,7 +48,7 @@ import numpy as np
 from flax import struct
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import physics as ph
 from ..ops.advect import advect
@@ -56,9 +56,12 @@ from ..state import FlowState, StepStats
 from .halo import (AXES, _device_pos, _shift, build_poisson_shard_map,
                    halo_pad, halo_pad_asym)
 
-# halo depth of the advection stage: select-shift displacement bound K=3
-# plus the trilinear +1 corner (ops/advect.SELECTSHIFT_K + 1)
-ADVECT_HALO = 4
+# Halo depth of the advection stage is DERIVED per solver as
+# solver.advect_k + 1: the select-shift displacement bound k plus the
+# trilinear +1 corner (ops/advect._backtrack_selectshift requires >= k+1
+# cells of valid halo). The same depth bounds the 'gather' backend's
+# correct displacement range (its global clamp keeps reads in the halo
+# only for |dt v / h| <= k).
 
 
 @struct.dataclass
@@ -154,7 +157,8 @@ def build_fullstep(solver, mesh: Mesh, use_pallas: bool | None = None):
     if nx % npx or ny % npy or nz % npz:
         raise ValueError("grid dims must divide mesh dims")
     bx, by, bz = nx // npx, ny // npy, nz // npz
-    K = ADVECT_HALO
+    adv_k = solver.advect_k
+    K = adv_k + 1   # advection halo depth (see module comment)
     if min(bx, by, bz) < K + 1:
         raise ValueError(
             f"full-step shard_map needs local blocks >= {K + 1} cells per "
@@ -406,7 +410,7 @@ def build_fullstep(solver, mesh: Mesh, use_pallas: bool | None = None):
             c, vx, vy, vz, vxh, vyh, vzh)
         vx, vy, vz, vxh, vyh, vzh = bc_vel_local(vx, vy, vz, vxh, vyh, vzh)
 
-        # -- semi-Lagrangian advection (velocity k=4 halo: the
+        # -- semi-Lagrangian advection (velocity k=advect_k+1 halo: the
         #    update_halo!(Vx,Vy,Vz) analog, multi_gpu.jl:477) --
         vxp4 = stag_pad(vx, vxh, 0, K)
         vyp4 = stag_pad(vy, vyh, 1, K)
@@ -427,11 +431,12 @@ def build_fullstep(solver, mesh: Mesh, use_pallas: bool | None = None):
                 m = m & (g1 >= lo1) & (g1 <= hi1)
             return target.at[region].set(jnp.where(m, vals, sub))
 
+        owned = ((K, K + bx), (K, K + by), (K, K + bz))
         avx, avy, avz, ac, n_clamped = advect(
             vxp4, vyp4, vzp4, cp4, dt, dx, dy, dz, compat=compat,
             method=method, with_stats=True, origin=origin,
             gshape=(nx, ny, nz), set_fn=set_masked,
-            k=getattr(solver, "advect_k", 3))
+            k=adv_k, count_box=owned)
         slK = (slice(K, K + bx), slice(K, K + by), slice(K, K + bz))
         vx, vy, vz, c = avx[slK], avy[slK], avz[slK], ac[slK]
         # advect never writes the hi-face planes (regions end at face n-1)
@@ -448,7 +453,7 @@ def build_fullstep(solver, mesh: Mesh, use_pallas: bool | None = None):
         step_local, mesh=mesh,
         in_specs=state_specs,
         out_specs=state_specs + (rep, rep, rep, rep),
-        check_rep=False)
+        check_vma=False)
 
     def step(dist: DistState):
         out = mapped(dist.pr, dist.vx, dist.vy, dist.vz, dist.c,

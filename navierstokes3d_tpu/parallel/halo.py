@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ptloop import pt_loop, pt_loop_fused
 
@@ -390,7 +390,7 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
             solve_local_pallas, mesh=mesh,
             in_specs=(spec, spec, spec),
             out_specs=(spec, spec, rep, rep, rep),
-            check_rep=False)
+            check_vma=False)
 
     # kmax-padded global hydrostatic profile (edge-replicated; edge pads
     # are never consumed)
@@ -454,5 +454,5 @@ def build_poisson_shard_map(mesh: Mesh, grid, phys, eps_it: float,
         solve_local, mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=(spec, spec, rep, rep, rep),
-        check_rep=False)
+        check_vma=False)
     return solve

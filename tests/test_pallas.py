@@ -253,12 +253,26 @@ def test_pallas_builds_for_prime_nx(nx):
     """Prime nx (e.g. the 127 midscale grid) must still get the Pallas
     path: blocked mode pads x to the slab multiple, so no divisor of nx
     is needed (a stale divisor gate silently dropped the kernel and fell
-    back to the jnp path). nx % B == 1 shapes step the slab up instead."""
+    back to the jnp path). Folded (non-compat) builds take any slab —
+    the nx % B == 1 restriction is scoped to the exact zero-grad-x roll
+    (compat multi), so e.g. nx=17 keeps B=8."""
     cfg = ns.preset_gpu(nx=nx, nt=1, compat=False, dtype="float32",
                         use_pallas=True)
     s = ns.ChorinSolver(cfg)
     assert s._pallas is not None
-    assert s._pallas[0].slab % 8 == 0 and nx % s._pallas[0].slab != 1
+    assert s._pallas[0].slab % 8 == 0
     st, stats = s.step_jit(s.init_state())
     assert np.isfinite(np.asarray(st.pr)).all()
     assert int(stats.iters) > 0
+
+
+def test_pallas_slab_roll_constraint_scoped():
+    """nx ≡ 1 (mod 48) shapes (49, 97, 145, ...) — which admit no slab in
+    (8,16,24) with nx % B != 1 — still get the Pallas path on folded
+    (non-compat) builds, where the zero-grad-x roll never runs."""
+    cfg = ns.preset_multi(nx=49, nt=1, compat=False, dtype="float32",
+                          use_pallas=True)
+    s = ns.ChorinSolver(cfg)
+    assert s._pallas is not None
+    st, stats = s.step_jit(s.init_state())
+    assert np.isfinite(np.asarray(st.pr)).all()
