@@ -110,13 +110,30 @@ def main():
     t0 = time.time()
     state, stats = solver.step_jit(state)
     jax.block_until_ready(state.pr)
-    log(f"warmup step (incl. compile): {time.time()-t0:.1f}s "
+    log(f"warmup step 1 (incl. compile): {time.time()-t0:.1f}s "
+        f"iters={int(stats.iters)}")
+    # step 2 compiles the steady-state structure: the stored-pressure
+    # pair (FlowState.pr_lo) appears after the first step
+    t0 = time.time()
+    state, stats = solver.step_jit(state)
+    jax.block_until_ready(state.pr)
+    log(f"warmup step 2 (steady structure): {time.time()-t0:.1f}s "
         f"iters={int(stats.iters)}")
 
     eps_it = cfg.numerics.eps_it
     total_iters, total_ext, t0 = 0, 0, time.time()
     all_converged = True
+    divv_pre = None
     for i in range(args.steps):
+        if i == args.steps - 1:
+            # snapshot the final step's Poisson RHS before the donating
+            # step deletes its input: the stored-state criterion below
+            # re-evaluates the returned pressure pair against it.
+            # Excluded from the timed wall (t0 shifted by its duration).
+            ts = time.time()
+            divv_pre = jax.jit(solver.predictor_divv)(state)
+            jax.block_until_ready(divv_pre)
+            t0 += time.time() - ts
         state, stats = solver.step_jit(state)
         jax.block_until_ready(state.pr)
         total_iters += int(stats.iters)
@@ -131,6 +148,21 @@ def main():
     if np.isnan(np.asarray(state.pr)).any():
         log("ERROR: NaNs in pressure field")
         all_converged = False
+
+    # Stored-state criterion: the reference evaluates convergence on its
+    # STORED (Float64) pressure field (gpu.jl:132-135). Re-evaluate the
+    # returned (pr, pr_lo) pair against the final step's RHS with the
+    # compensated f32 evaluation (f64-grade on TPU, where float64 is
+    # unavailable): the STORED state — not just the in-solve iterate —
+    # must meet eps_it.
+    stored_err = None
+    if divv_pre is not None and state.pr_lo is not None:
+        stored_err = float(jax.jit(solver.stored_residual_err)(
+            state, divv=divv_pre))
+        stored_ok = stored_err < eps_it
+        log(f"stored-state criterion: err={stored_err:.3e} "
+            f"({'meets' if stored_ok else 'FAILS'} eps_it={eps_it})")
+        all_converged &= stored_ok
     iters_per_sec = total_iters / wall
     time_per_step = wall / args.steps
 
@@ -174,6 +206,10 @@ def main():
         "vs_baseline": round(frac, 4),
         "time_per_step_s": round(time_per_step, 4),
         "all_steps_converged": all_converged,
+        # compensated residual of the returned STORED pressure pair
+        # (None when the run's config carries no pair, e.g. f64)
+        "stored_state_err": (None if stored_err is None
+                             else round(stored_err, 6)),
         "device": jax.devices()[0].device_kind,
     }))
 

@@ -25,9 +25,13 @@ def save_checkpoint(path: str, state: FlowState, it: int,
     """pressure_split records whether state.pr stores p' = Pr - P_static(z)
     (NumericsConfig.pressure_split); a resume must use the same convention."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrs = {f: np.asarray(getattr(state, f)) for f in _FIELDS}
+    if state.pr_lo is not None:
+        # stored-pressure pair low word (FlowState.pr_lo): resume keeps
+        # the stored state's converged-residual property bit-for-bit
+        arrs["pr_lo"] = np.asarray(state.pr_lo)
     np.savez(path, it=np.int64(it),
-             pressure_split=np.bool_(pressure_split),
-             **{f: np.asarray(getattr(state, f)) for f in _FIELDS})
+             pressure_split=np.bool_(pressure_split), **arrs)
     return path if path.endswith(".npz") else path + ".npz"
 
 
@@ -36,6 +40,8 @@ def load_checkpoint(path: str, dtype=None,
                     ) -> Tuple[FlowState, int]:
     with np.load(path) as z:
         arrs = {f: z[f] for f in _FIELDS}
+        if "pr_lo" in z:
+            arrs["pr_lo"] = z["pr_lo"]
         it = int(z["it"])
         split = bool(z["pressure_split"]) if "pressure_split" in z else False
     if expect_pressure_split is not None and split != expect_pressure_split:

@@ -760,7 +760,12 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 e = e + (dh * w_lo + dl * w_hi)
                 return p, e
 
-            def compensated_residual(p_flat, rhs_flat):
+            def compensated_residual(p_flat, rhs_flat, rhs_lo_flat=None):
+                """rhs_lo_flat: optional low word of an (hi, lo) RHS pair
+                (ops/ds.rhs_pair) — without it the f32 rounding of the
+                RHS itself (~eps32*|rhs| ~ 7e-4 err units at the 255
+                showcase) stays in the problem definition and caps how
+                far the defect correction can honestly converge."""
                 pc = p_flat[1:-1, :]
                 pairs = []
                 dh, dl = _two_sum(p_flat[2:, :], -pc)
@@ -776,7 +781,9 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                                   (-1, wq_zp), (1, wq_zm)):
                     dh, dl = _two_sum(jnp.roll(pc, shift, 1), -pc)
                     pairs.append(_term(dh, dl, wq))
-                pairs.append((-rhs_flat[1:-1, :], jnp.zeros_like(pc)))
+                rlo = (jnp.zeros_like(pc) if rhs_lo_flat is None
+                       else -rhs_lo_flat[1:-1, :])
+                pairs.append((-rhs_flat[1:-1, :], rlo))
                 s, c = pairs[0]
                 for p_i, e_i in pairs[1:]:
                     s, t = _two_sum(s, p_i)

@@ -34,14 +34,23 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..bc import make_bc_fns
+from ..bc import make_bc_fns, make_bc_pr_pair
 from ..config import SimConfig
 from ..grid import Grid, make_grid
+from ..ops import ds as dsops
 from ..ops import physics as ph
 from ..ops.advect import advect
 from ..ops.cylinder import CylinderMasks, apply_cylinder, build_masks
 from ..ptloop import pt_loop, pt_loop_fused
 from ..state import FlowState, StepStats, zeros_state
+
+
+def _two_sum(a, b):
+    """Knuth two_sum: s = fl(a + b), e such that a + b = s + e exactly."""
+    s = a + b
+    ap = s - b
+    bp = s - ap
+    return s, (a - ap) + (b - bp)
 
 
 class ChorinSolver:
@@ -59,6 +68,10 @@ class ChorinSolver:
         self.masks: CylinderMasks = build_masks(cfg, self.grid)
         self._init_split()
         self.set_bc_vel, self.set_bc_pr = make_bc_fns(
+            cfg, self.grid, pressure_split=self.pressure_split)
+        # (hi, lo) image of set_bc_pr for the stored pressure pair
+        # (FlowState.pr_lo); only the f32 accuracy phases consume it.
+        self.set_bc_pr_pair = make_bc_pr_pair(
             cfg, self.grid, pressure_split=self.pressure_split)
         stall_on = cfg.numerics.stall_exit
         if stall_on is None:
@@ -139,6 +152,7 @@ class ChorinSolver:
             zh[grid.nz - 2] = +rho_g_dz / grid.dz / grid.dz
         self._z_hoist = zh  # (nz,), full-shape z index
         self._flap = None   # lazily-built folded interior Laplacian
+        self._fcomp = None  # lazily-built compensated pair residual
 
     def full_pressure(self, pr) -> jax.Array:
         """Physical pressure Pr from the state's pressure field (identity
@@ -253,14 +267,20 @@ class ChorinSolver:
         # pallas_call cannot be partitioned by the SPMD partitioner; on a
         # real multi-device mesh force the jnp Poisson backends.
         allow_pallas = mesh.size == 1
-        hybrid = (allow_pallas and self._pallas is not None
-                  and self._pallas_ext is not None)
-        stats_sh = StepStats(iters=rep, err=rep, err_hist=rep,
-                             advect_clamped=rep,
-                             iters_ext=rep if hybrid else None)
+        # want_pair=False: the sharded pytrees stay pair-free (sh/stats_sh
+        # declare no pr_lo). Single-chip users get the pair via step_jit;
+        # a state carrying one must drop it (state.replace(pr_lo=None))
+        # before entering a distributed step.
         poisson_fn = functools.partial(self.poisson_solve,
-                                       allow_pallas=allow_pallas)
+                                       allow_pallas=allow_pallas,
+                                       want_pair=False)
         step = lambda state: self._step_impl(state, poisson_fn)
+        # stats sharding template: derive the pytree structure (which
+        # optional channels the selected backend emits) by abstract
+        # evaluation instead of re-encoding the dispatch logic here
+        state_struct = jax.eval_shape(self.init_state)
+        _, stats_struct = jax.eval_shape(step, state_struct)
+        stats_sh = jax.tree.map(lambda _: rep, stats_struct)
         return jax.jit(step, donate_argnums=0,
                        in_shardings=(sh,), out_shardings=(sh, stats_sh))
 
@@ -313,23 +333,34 @@ class ChorinSolver:
 
     # ---- Poisson solve ----
 
-    def poisson_solve(self, pr, dprdtau, divv, *, allow_pallas=True):
+    def poisson_solve(self, pr, dprdtau, divv, *, allow_pallas=True,
+                      want_pair=True):
         """allow_pallas=False forces the jnp backends: pallas_call is opaque
         to the XLA SPMD partitioner, so any step traced over a >1-device
         global-view mesh must not reach the Pallas kernel (it would gather/
-        replicate the globally-sharded operands, or crash)."""
+        replicate the globally-sharded operands, or crash).
+
+        want_pair=False suppresses the stored-pressure pair channel
+        (StepStats.pr_lo) that the f32 accuracy phases emit — the
+        distributed wrappers pass False so their stats/state pytree
+        structure stays pair-free (the pair is a single-chip showcase
+        feature; f64 distributed runs have no storage floor to lift)."""
         if self.cfg.numerics.poisson_backend == "fdm":
             return self._poisson_solve_fdm(pr, dprdtau, divv,
-                                           allow_pallas=allow_pallas)
+                                           allow_pallas=allow_pallas,
+                                           want_pair=want_pair)
         if (allow_pallas and self._pallas is not None
                 and (self.acc_pallas != "extended"
                      or self._pallas_ext is not None)):
-            return self._poisson_solve_pallas(pr, dprdtau, divv)
+            return self._poisson_solve_pallas(pr, dprdtau, divv,
+                                              want_pair=want_pair)
         if not self.cfg.compat:
-            return self._poisson_solve_jnp_folded(pr, dprdtau, divv)
+            return self._poisson_solve_jnp_folded(pr, dprdtau, divv,
+                                                  want_pair=want_pair)
         return self._poisson_solve_jnp(pr, dprdtau, divv)
 
-    def _poisson_solve_fdm(self, pr, dprdtau, divv, *, allow_pallas=True):
+    def _poisson_solve_fdm(self, pr, dprdtau, divv, *, allow_pallas=True,
+                           want_pair=True):
         """Exact direct solve via fast diagonalization (ops/fdm_poisson):
         ~6 MXU matmul passes replace the reference's thousands of
         pseudo-transient iterations. dprdtau passes through untouched
@@ -380,27 +411,21 @@ class ChorinSolver:
         # anyway (docs/numerics.md), so a fixed budget loses nothing.
         mc = self.cfg.numerics.fdm_polish_chunks
         if allow_pallas and self._pallas is not None:
-            return self._poisson_solve_pallas(pr, dpr0, divv, max_chunks=mc)
+            return self._poisson_solve_pallas(pr, dpr0, divv, max_chunks=mc,
+                                              want_pair=want_pair)
         if not self.cfg.compat:
             return self._poisson_solve_jnp_folded(pr, dpr0, divv,
-                                                  max_chunks=mc)
+                                                  max_chunks=mc,
+                                                  want_pair=want_pair)
         return self._poisson_solve_jnp(pr, dpr0, divv)
 
-    def _folded_lap_fn(self):
-        """Interior Laplacian with the boundary conditions folded in:
-        zero-gradient neighbor terms dropped via coefficient masks (the
-        difference vanishes after BC application), Dirichlet planes read
-        as-is (they are loop-invariant). Shared by the folded jnp backend
-        and the folded Pallas path's residual evaluation."""
-        if self._flap is not None:
-            return self._flap
-        grid, dtype = self.grid, self.dtype
+    def _folded_masks(self, dtype):
+        """Per-axis neighbor coefficient masks of the folded stencil,
+        broadcast-shaped, as NumPy (so cached closures hold no traced
+        values — these may be first built inside a jit trace)."""
+        grid = self.grid
         nx, ny, nz = grid.nx, grid.ny, grid.nz
-        dx, dy, dz = grid.dx, grid.dy, grid.dz
 
-        # masks stay NumPy so the cached closure holds no traced values
-        # (this may be first called inside a jit trace; jnp constants made
-        # there would leak as tracers into later traces)
         def masks_1d(n, lo_zero_grad, hi_zero_grad):
             am = np.ones(n - 2, dtype)
             ap = np.ones(n - 2, dtype)
@@ -419,9 +444,63 @@ class ChorinSolver:
             axm, axp = masks_1d(nx, False, False)
             aym, ayp = masks_1d(ny, True, True)
             azm, azp = masks_1d(nz, True, True)
-        axm = axm[:, None, None]; axp = axp[:, None, None]
-        aym = aym[None, :, None]; ayp = ayp[None, :, None]
-        azm = azm[None, None, :]; azp = azp[None, None, :]
+        return (axm[:, None, None], axp[:, None, None],
+                aym[None, :, None], ayp[None, :, None],
+                azm[None, None, :], azp[None, None, :])
+
+    def _comp_residual_fn(self):
+        """Compensated folded residual of a (hi, lo) pressure pair against
+        a (hi, lo) RHS pair: jnp twin of the flat in-kernel version
+        (kernels/poisson.py compensated_residual), used by the jnp folded
+        backend's defect-correction finisher and stored_residual_err.
+
+        A single f32 evaluation of lap(p) - rhs carries rounding
+        ~eps32*|rhs| (~2e-3 err units at the showcase preset) — above
+        eps_it, so it can neither define a correction problem nor report
+        an honest final err. This evaluation tracks every first-order
+        rounding term (two_sum neighbor diffs, Dekker products against
+        f64-split weights, compensated accumulation), bringing the error
+        down to ~eps32*|resid|. Runs once per restart — not hot."""
+        if self._fcomp is not None:
+            return self._fcomp
+        grid = self.grid
+        dx, dy, dz = grid.dx, grid.dy, grid.dz
+        masks = self._folded_masks(np.float64)
+        quads = [dsops.weight_quad(m / h / h) for m, h in
+                 zip(masks, (dx, dx, dy, dy, dz, dz))]
+
+        def comp(hi, lo, rhs_hi, rhs_lo):
+            hic = hi[1:-1, 1:-1, 1:-1]
+            loc = lo[1:-1, 1:-1, 1:-1]
+            nbs = ((hi[:-2, 1:-1, 1:-1], lo[:-2, 1:-1, 1:-1]),
+                   (hi[2:, 1:-1, 1:-1], lo[2:, 1:-1, 1:-1]),
+                   (hi[1:-1, :-2, 1:-1], lo[1:-1, :-2, 1:-1]),
+                   (hi[1:-1, 2:, 1:-1], lo[1:-1, 2:, 1:-1]),
+                   (hi[1:-1, 1:-1, :-2], lo[1:-1, 1:-1, :-2]),
+                   (hi[1:-1, 1:-1, 2:], lo[1:-1, 1:-1, 2:]))
+            pairs = []
+            for (nb_hi, nb_lo), quad in zip(nbs, quads):
+                dh, dl = dsops.two_sum(nb_hi, -hic)
+                dl = dl + (nb_lo - loc)
+                pairs.append(dsops.weighted_term(dh, dl, quad))
+            pairs.append((-rhs_hi, -rhs_lo))
+            s, c = dsops.accumulate(pairs)
+            r = s + c
+            return r, jnp.max(jnp.abs(r))
+
+        self._fcomp = comp
+        return comp
+
+    def _folded_lap_fn(self):
+        """Interior Laplacian with the boundary conditions folded in:
+        zero-gradient neighbor terms dropped via coefficient masks (the
+        difference vanishes after BC application), Dirichlet planes read
+        as-is (they are loop-invariant). Shared by the folded jnp backend
+        and the folded Pallas path's residual evaluation."""
+        if self._flap is not None:
+            return self._flap
+        dx, dy, dz = self.grid.dx, self.grid.dy, self.grid.dz
+        axm, axp, aym, ayp, azm, azp = self._folded_masks(self.dtype)
 
         def lap_folded(pr):
             pc = pr[1:-1, 1:-1, 1:-1]
@@ -435,7 +514,8 @@ class ChorinSolver:
         self._flap = lap_folded
         return lap_folded
 
-    def _poisson_solve_jnp_folded(self, pr, dprdtau, divv, max_chunks=None):
+    def _poisson_solve_jnp_folded(self, pr, dprdtau, divv, max_chunks=None,
+                                  want_pair=True):
         """Poisson solve with the boundary conditions folded into the
         stencil: zero-gradient faces become dropped neighbor terms
         (coefficient masks), Dirichlet faces are loop-invariant planes,
@@ -462,14 +542,21 @@ class ChorinSolver:
         dtype = self.dtype
         lap_folded = self._folded_lap_fn()
 
-        rhs = ((rho / dt) * divv[1:-1, 1:-1, 1:-1]).astype(dtype)
-        if self.pressure_split:
-            # affine z BC (bc.affine_grad_z): the dropped boundary-neighbor
-            # term is the CONSTANT -+rho*g*dz, hoisted into the RHS
-            rhs = rhs - jnp.asarray(self._z_hoist[1:-1],
-                                    dtype)[None, None, :]
-
         extended = self.acc_jnp == "extended" and dtype == jnp.float32
+        zh = self._z_hoist[1:-1] if self.pressure_split else None
+        if extended:
+            # (hi, lo) RHS pair: hi is bit-identical to the plain f32
+            # computation below (same trajectory); lo carries its
+            # first-order rounding, consumed by the compensated residual
+            # of the defect-correction finisher (ops/ds.rhs_pair).
+            rhs, rhs_lo = dsops.rhs_pair(divv[1:-1, 1:-1, 1:-1],
+                                         rho / dt, zh)
+        else:
+            rhs = ((rho / dt) * divv[1:-1, 1:-1, 1:-1]).astype(dtype)
+            if zh is not None:
+                # affine z BC (bc.affine_grad_z): the dropped boundary-
+                # neighbor term is the CONSTANT -+rho*g*dz, hoisted here
+                rhs = rhs - jnp.asarray(zh, dtype)[None, None, :]
 
         err_scale = (grid.ly * grid.ly) / phys.psc
         if extended:
@@ -511,17 +598,76 @@ class ChorinSolver:
         carry0 = ((pr, jnp.zeros_like(pr), dprdtau) if extended
                   else (pr, dprdtau))
 
-        carry, iters, err, hist = pt_loop_fused(
+        carry, it1, err1, hist1 = pt_loop_fused(
             step_fn, carry0, 1, nchunks * grid.nchk + rem, grid.nchk,
             nchunks, eps_it, dtype, stall=self._stall)
-        dprdtau = carry[-1]
-        # materialize the zero-gradient boundary planes of the final state
-        # (extended: hi absorbs lo through the two_sum renormalization, so
-        # hi IS the correctly-rounded f32 field)
-        pr = self.set_bc_pr(carry[0])
-        return pr, dprdtau, StepStats(iters=iters, err=err, err_hist=hist)
+        if not extended:
+            pr, dprdtau = carry
+            # materialize the zero-gradient boundary planes
+            pr = self.set_bc_pr(pr)
+            return pr, dprdtau, StepStats(iters=it1, err=err1,
+                                          err_hist=hist1)
 
-    def _poisson_solve_pallas(self, pr, dprdtau, divv, max_chunks=None):
+        # ---- defect-correction finisher (extended path) ----
+        # The double-single loop's observable residual carries plain-f32
+        # evaluation noise ~eps32*|rhs| (~2e-3 err units at 127+-class
+        # gpu grids), so at large grids the loop exits via the stall
+        # detector ABOVE eps_it even though f64 converges. Mirror the
+        # Pallas hybrid (defect branch of _poisson_solve_pallas):
+        # evaluate the true residual r0 once with compensated arithmetic
+        # (error ~eps32*|r0|, against the (hi, lo) RHS pair) and solve
+        # lap(delta) = -r0 with the plain loop — the correction problem's
+        # scale is |r0|, so plain f32 genuinely reaches eps_it. err0
+        # seeding makes it a no-op when the pair loop already converged
+        # (iteration counts then keep their f64 parity,
+        # tests/test_precision.py::test_extended_f32_converges_like_f64).
+        hi1, lo1, dpr1 = carry
+        comp = self._comp_residual_fn()
+        r0, emax = comp(hi1, lo1, rhs, rhs_lo)
+        errh = emax * jnp.asarray(err_scale, dtype)
+        rhs_c = -r0
+
+        def stepd(c2, it):
+            d, dpr = c2
+            resid = lap_folded(d) - rhs_c
+            dpr = dpr.at[1:-1, 1:-1, 1:-1].set(
+                dpr[1:-1, 1:-1, 1:-1] * (1.0 - damp) + dtau * resid)
+            d = d + dtau * dpr
+            return ((d, dpr),
+                    jnp.max(jnp.abs(resid)) * err_scale, jnp.int32(1))
+
+        # delta starts at 0 (its BCs are the homogeneous image of the
+        # pressure BCs, already folded into lap_folded/rhs) but dprdtau
+        # CARRIES OVER: by linearity the correction continues the
+        # phase-1 PT trajectory exactly, just evaluated against |r0|.
+        (dl, dprdtau), it2, err2, hist2 = pt_loop_fused(
+            stepd, (jnp.zeros_like(hi1), dpr1), 0,
+            nchunks * grid.nchk + rem, grid.nchk, nchunks, eps_it,
+            dtype, stall=self._stall, err0=errh)
+        iters = it1 + it2
+        # honest err: the compensated entry evaluation when the pair loop
+        # had converged (it2 == 0), else the correction loop's exit
+        # residual (evaluated at |r0| scale — noise-free by construction)
+        err = jnp.where(it2 > 0, err2, errh)
+        hist = jnp.where(jnp.isnan(hist1),
+                         jnp.roll(hist2, it1 // grid.nchk), hist1)
+        hi2, lo2 = _two_sum(hi1, lo1 + dl)
+        if want_pair:
+            # the converged iterate crosses the step boundary as the
+            # stored (hi, lo) pair (FlowState.pr_lo): the STORED state —
+            # not just the in-solve iterate — meets eps_it
+            hi2, lo2 = self.set_bc_pr_pair(hi2, lo2)
+            return hi2, dprdtau, StepStats(iters=iters, err=err,
+                                           err_hist=hist, iters_ext=it2,
+                                           pr_lo=lo2)
+        # hi absorbs lo through the two_sum renormalization, so hi IS
+        # the correctly-rounded f32 field
+        pr = self.set_bc_pr(hi2)
+        return pr, dprdtau, StepStats(iters=iters, err=err,
+                                      err_hist=hist, iters_ext=it2)
+
+    def _poisson_solve_pallas(self, pr, dprdtau, divv, max_chunks=None,
+                              want_pair=True):
         """Hot loop backed by the fused Pallas kernel (kernels/poisson.py):
         one HBM pass per iteration, BCs included, state kept in the
         flattened padded layout across the whole solve."""
@@ -535,22 +681,34 @@ class ChorinSolver:
             rem = 0
         iter_fn, pack, unpack = self._pallas
         num = self.cfg.numerics
-        rhs3d = (rho / dt) * divv
         folded = self._pallas_folded
         hybrid_ext = self._pallas_ext is not None
         defect = (self.acc_pallas == "defect" and folded
                   and hasattr(iter_fn, "compensated_residual"))
         hybrid = hybrid_ext or defect
 
+        rhs_lo3d = None
+        if defect:
+            # (hi, lo) RHS pair (ops/ds.rhs_pair): hi is bit-identical to
+            # the plain computation (same hot-loop trajectory); lo feeds
+            # the compensated residual so the defect correction targets
+            # the true (f64-defined) RHS, not its f32 rounding.
+            rhs3d, rhs_lo3d = dsops.rhs_pair(
+                divv, rho / dt,
+                self._z_hoist if folded else None)
+        else:
+            rhs3d = (rho / dt) * divv
+            if folded:
+                rhs3d = rhs3d - jnp.asarray(self._z_hoist,
+                                            self.dtype)[None, None, :]
+
         if folded:
-            # folded-BC kernel protocol (see kernels/poisson.py): hoist
-            # the affine-z constants into the RHS, run iteration 1 in
-            # exact form (reads incoming boundary planes like the
-            # reference), freeze the Dirichlet planes via set_bc_pr, and
-            # drive convergence off the kernel-emitted residual. Identical
-            # numerics to _poisson_solve_jnp_folded.
-            rhs3d = rhs3d - jnp.asarray(self._z_hoist,
-                                        self.dtype)[None, None, :]
+            # folded-BC kernel protocol (see kernels/poisson.py): the
+            # affine-z constants are hoisted into the RHS (above), run
+            # iteration 1 in exact form (reads incoming boundary planes
+            # like the reference), freeze the Dirichlet planes via
+            # set_bc_pr, and drive convergence off the kernel-emitted
+            # residual. Identical numerics to _poisson_solve_jnp_folded.
             pr, dprdtau = ph.poisson_iter(pr, dprdtau, divv, rho, dt,
                                           grid.dtau, grid.damp,
                                           grid.dx, grid.dy, grid.dz)
@@ -631,7 +789,8 @@ class ChorinSolver:
             # a second round could never beat the stored-field floor).
             comp = iter_fn.compensated_residual
             n2 = nchunks * grid.nchk + rem
-            r0, emax = comp(pr_pad, rhs_f)
+            rhs_lo_f = pack(pr, dprdtau, rhs_lo3d)[2]
+            r0, emax = comp(pr_pad, rhs_f, rhs_lo_f)
             errh = emax * err_scale
             rhs_c = -r0
 
@@ -665,10 +824,23 @@ class ChorinSolver:
                 stepd, (jnp.zeros_like(pr_pad), dpr_f),
                 0, n2, grid.nchk, nchunks, eps_it, self.dtype,
                 stall=self._stall, err0=errh)
-            pr2, dpr2 = unpack(pr_pad + dl, d_f)
-            pr2 = self.set_bc_pr(pr2)
             hist = jnp.where(jnp.isnan(hist1),
                              jnp.roll(hist2, it1 // grid.nchk), hist1)
+            if want_pair:
+                # two_sum(p1, delta) represents the converged iterate
+                # p1 (+) delta EXACTLY as a stored (hi, lo) pair — the
+                # stored state then meets eps_it, not just the in-solve
+                # iterate (the single rounded field re-adds ~3e-2 err
+                # units at 255; docs/numerics.md "What still floors").
+                p13, dpr2 = unpack(pr_pad, d_f)
+                dl3, _ = unpack(dl, d_f)
+                hi, lo = _two_sum(p13, dl3)
+                hi, lo = self.set_bc_pr_pair(hi, lo)
+                return hi, dpr2, StepStats(iters=it1 + it2, err=err,
+                                           err_hist=hist, iters_ext=it2,
+                                           pr_lo=lo)
+            pr2, dpr2 = unpack(pr_pad + dl, d_f)
+            pr2 = self.set_bc_pr(pr2)
             return pr2, dpr2, StepStats(iters=it1 + it2, err=err,
                                         err_hist=hist, iters_ext=it2)
 
@@ -721,21 +893,29 @@ class ChorinSolver:
                     residual_err_e, (hi_f, lo_f), dpf0, nchunks,
                     grid.nchk, rem, eps_it, self.dtype, stall=self._stall)
             # hi is the correctly-rounded f32 field (two_sum renormalized)
-            pr2, _, dpr2 = unpack_e(*prc, dpf)
-            return pr2, dpr2, it2, err2, hist2
+            pr2, lo2, dpr2 = unpack_e(*prc, dpf)
+            return pr2, lo2, dpr2, it2, err2, hist2
 
         def skip(args):
             pr1, dpr1 = args
-            return pr1, dpr1, jnp.int32(0), err1, hist_nan
+            return (pr1, jnp.zeros_like(pr1), dpr1, jnp.int32(0), err1,
+                    hist_nan)
 
         ran2 = (err1 >= eps_it) & jnp.isfinite(err1)
-        pr2, dpr2, it2, err2, hist2 = lax.cond(ran2, phase2, skip,
-                                               (pr1, dpr1))
+        pr2, lo2, dpr2, it2, err2, hist2 = lax.cond(ran2, phase2, skip,
+                                                    (pr1, dpr1))
         iters = it1 + it2
         err = jnp.where(ran2, err2, err1)
         # splice phase-2 checks after phase 1's in the history
         hist = jnp.where(jnp.isnan(hist1),
                          jnp.roll(hist2, it1 // grid.nchk), hist1)
+        if want_pair and folded:
+            # the loop's (hi, lo) iterate crosses the step boundary as
+            # the stored pair (FlowState.pr_lo)
+            pr2, lo2 = self.set_bc_pr_pair(pr2, lo2)
+            return pr2, dpr2, StepStats(iters=iters, err=err,
+                                        err_hist=hist, iters_ext=it2,
+                                        pr_lo=lo2)
         if folded:
             # materialize the zero-gradient boundary planes
             pr2 = self.set_bc_pr(pr2)
@@ -834,6 +1014,45 @@ class ChorinSolver:
     def step(self, state: FlowState) -> Tuple[FlowState, StepStats]:
         return self._step_impl(state, self.poisson_solve)
 
+    def predictor_divv(self, state: FlowState):
+        """The predictor-velocity divergence a step taken FROM `state`
+        hands to its Poisson solve (the _step_impl prelude, bit-exact).
+        Jit-safe; use to snapshot the RHS before a donating step_jit call
+        deletes `state` (stored_residual_err consumes it)."""
+        grid, phys = self.grid, self.cfg.physics
+        dx, dy, dz = grid.dx, grid.dy, grid.dz
+        g_eff = 0.0 if self.pressure_split else phys.g
+        taus = ph.update_tau(state.vx, state.vy, state.vz, phys.mu,
+                             dx, dy, dz)
+        vx, vy, vz = ph.predict_v(state.vx, state.vy, state.vz, *taus,
+                                  phys.rho, g_eff, grid.dt, dx, dy, dz)
+        _, vx, vy, vz = apply_cylinder(state.c, vx, vy, vz, self.masks)
+        return ph.update_divv(vx, vy, vz, dx, dy, dz)
+
+    def stored_residual_err(self, state_after: FlowState, *,
+                            state_before: FlowState = None, divv=None):
+        """Re-evaluate the reference's convergence criterion on the
+        STORED pressure of `state_after` (the state `step` returned):
+        max |lap(pr (+) pr_lo) - rhs| * ly^2/psc, with rhs rebuilt
+        bit-exactly from the pre-step predictor divergence (pass either
+        `state_before` or its `predictor_divv`) and both operands
+        evaluated in compensated (double-single) arithmetic — f64-grade
+        accuracy in pure f32, so it runs on TPU. The reference evaluates
+        this on its Float64 stored field (NavierStokes3D_gpu.jl:132-135);
+        this is the independent check that the (hi, lo) stored pair
+        actually meets err < eps_it across the step boundary. Jit-safe."""
+        if divv is None:
+            divv = self.predictor_divv(state_before)
+        grid, phys = self.grid, self.cfg.physics
+        zh = self._z_hoist[1:-1] if self.pressure_split else None
+        rhs_hi, rhs_lo = dsops.rhs_pair(divv[1:-1, 1:-1, 1:-1],
+                                        phys.rho / grid.dt, zh)
+        comp = self._comp_residual_fn()
+        lo = (state_after.pr_lo if state_after.pr_lo is not None
+              else jnp.zeros_like(state_after.pr))
+        _, emax = comp(state_after.pr, lo, rhs_hi, rhs_lo)
+        return emax * (grid.ly * grid.ly) / phys.psc
+
     def _step_impl(self, state: FlowState, poisson_fn) -> Tuple[FlowState, StepStats]:
         grid, phys = self.grid, self.cfg.physics
         rho, mu, g = phys.rho, phys.mu, phys.g
@@ -851,6 +1070,12 @@ class ChorinSolver:
         c, vx, vy, vz = apply_cylinder(state.c, vx, vy, vz, self.masks)
         divv = ph.update_divv(vx, vy, vz, dx, dy, dz)
         pr, dprdtau, stats = poisson_fn(state.pr, state.dprdtau, divv)
+        # pop the stored-pair low word out of the internal stats channel
+        # into the state (the corrector and the next solve's warm start
+        # use hi only — the pair's job is making the STORED pressure meet
+        # eps_it across the step boundary, docs/numerics.md)
+        pr_lo = stats.pr_lo
+        stats = stats.replace(pr_lo=None)
         vx, vy, vz = ph.correct_v(vx, vy, vz, pr, dt, rho, dx, dy, dz)
         c, vx, vy, vz = apply_cylinder(c, vx, vy, vz, self.masks)
         vx, vy, vz = self.set_bc_vel(vx, vy, vz)
@@ -860,7 +1085,7 @@ class ChorinSolver:
                                           with_stats=True,
                                           k=self.advect_k)
         new_state = FlowState(pr=pr, vx=vx, vy=vy, vz=vz, c=c,
-                              dprdtau=dprdtau)
+                              dprdtau=dprdtau, pr_lo=pr_lo)
         return new_state, stats.replace(advect_clamped=n_clamped)
 
     # ---- convenience driver (host loop; I/O hooks live in run.py) ----

@@ -30,6 +30,15 @@ class FlowState:
     vz: jax.Array        # (nx, ny, nz+1)
     c: jax.Array         # tracer concentration, (nx, ny, nz)
     dprdtau: jax.Array   # pseudo-time pressure derivative, (nx, ny, nz)
+    # Low word of the stored pressure pair (float32 accuracy phases
+    # only): pr + pr_lo is the converged solution ITERATE, carried
+    # across the step boundary so the STORED state — not just the
+    # in-solve iterate — meets the reference's err < eps_it criterion
+    # (gpu.jl:132-135); a single f32 field re-adds ~eps*|p|*6/h^2 of
+    # representation noise at 255-class grids (docs/numerics.md).
+    # None on f64 / compat / distributed paths. Appears after the
+    # first step (init_state starts it at None).
+    pr_lo: jax.Array | None = None
 
 
 @struct.dataclass
@@ -55,6 +64,9 @@ class StepStats:
     iters_ext: jax.Array | None = None  # iterations run by the extended
     #   (double-single) kernel in the hybrid Pallas solve; plain-kernel
     #   iterations = iters - iters_ext. None outside that path.
+    pr_lo: jax.Array | None = None  # INTERNAL channel: the Poisson
+    #   backends return the stored-pair low word here; _step_impl pops
+    #   it into FlowState.pr_lo (never visible to step callers).
 
 
 def zeros_state(grid: Grid, dtype) -> FlowState:

@@ -40,7 +40,7 @@ def test_mat_roundtrip(tmp_path):
                             0.1, 0.2, 0.3)
     d = matio.load_step_mat(p)
     np.testing.assert_allclose(d["Pr"], pr)
-    assert float(d["dx"]) == 0.1
+    assert float(np.asarray(d["dx"]).reshape(-1)[0]) == 0.1
 
 
 def test_checkpoint_resume_bitexact(tmp_path):

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 
 import navierstokes3d_tpu as ns
 from navierstokes3d_tpu.ops import physics as ph
-from navierstokes3d_tpu.ops.cylinder import apply_cylinder
 
 
 def _num(cfg, **kw):
@@ -78,11 +77,19 @@ def test_pressure_split_f64_equivalence():
 def test_extended_f32_converges_like_f64():
     """gpu preset in float32: without split+extended the Poisson loop can
     only reach its noise floor (~30x the tolerance); with them it exits
-    converged with the same iteration counts as the f64 run."""
+    converged with f64-matching iteration counts, up to the honesty
+    margin: when the f64 exit residual sits just under eps_it, the f32
+    path's COMPENSATED convergence check (the defect finisher's entry
+    evaluation) may see the true residual still above eps_it where the
+    noisy plain-f32 observable would have declared victory, and run up
+    to a chunk or two more. It must never exit in FEWER iterations than
+    f64 (that would be under-convergence)."""
     iters = {}
+    nchk = None
     for dtype in ("float64", "float32"):
         cfg = ns.preset_gpu(nx=40, nt=2, compat=False, dtype=dtype)
         s = ns.ChorinSolver(cfg)
+        nchk = s.grid.nchk
         if dtype == "float32":
             assert s.pressure_split and s.extended
         st = s.init_state()
@@ -94,8 +101,8 @@ def test_extended_f32_converges_like_f64():
         iters[dtype] = (its, errs)
         assert all(e < 1e-3 for e in errs), (dtype, errs)
         assert all(i < s.grid.niter for i in its), (dtype, its)
-    # same chunk granularity: identical iteration counts
-    assert iters["float32"][0] == iters["float64"][0]
+    for i32, i64 in zip(iters["float32"][0], iters["float64"][0]):
+        assert 0 <= i32 - i64 <= 2 * nchk, (iters, nchk)
 
 
 def test_extended_pallas_matches_folded():
@@ -306,3 +313,86 @@ def test_defect_correction_converges_beyond_plain_floor():
     # storage) — the f64 oracle must still be within a small multiple of
     # eps, far below the plain-phase stall floor (~6e-4 here)
     assert true_err < 3 * eps, true_err
+
+
+def _err_f64(s, pr, divv):
+    """Reference residual metric (gpu.jl:132) evaluated in float64."""
+    g, phys = s.grid, s.cfg.physics
+    rp = ph.poisson_residual(jnp.asarray(np.asarray(pr), jnp.float64),
+                             jnp.asarray(np.asarray(divv), jnp.float64),
+                             phys.rho, g.dt, g.dx, g.dy, g.dz)
+    return float(jnp.max(jnp.abs(rp)) * (g.ly * g.ly) / phys.psc)
+
+
+def test_stored_pair_meets_reference_criterion():
+    """The reference's convergence criterion is evaluated on its STORED
+    (Float64) pressure field (gpu.jl:132-135). With the (hi, lo) pair in
+    FlowState, the f32 STORED state — not just the in-solve iterate —
+    meets err < eps_it: re-evaluating the residual of pr + pr_lo in f64
+    stays below eps_it, while the single rounded field alone floors above
+    it at 127-class grids (the representation noise the pair removes;
+    docs/numerics.md "What still floors")."""
+    cfg = ns.preset_gpu(nx=127, nt=2, compat=False, dtype="float32",
+                        use_pallas=False)  # jnp folded extended backend
+    s = ns.ChorinSolver(cfg)
+    eps = cfg.numerics.eps_it
+    st = s.init_state()
+    st, _ = s.step_jit(st)            # develop one step
+    divv = s.predictor_divv(st)       # RHS of the NEXT step's solve
+    st2, stats = s.step_jit(st)
+    assert st2.pr_lo is not None
+    assert int(stats.iters_ext) > 0   # the defect finisher had to run
+    assert float(stats.err) < eps     # the iterate converged (honest err)
+    # under the split the residual operator acts on p' directly
+    err_pair = _err_f64(s, np.asarray(st2.pr, np.float64)
+                        + np.asarray(st2.pr_lo, np.float64), divv)
+    err_single = _err_f64(s, st2.pr, divv)
+    assert err_pair < eps, (err_pair, err_single)
+    # the single stored field sits above the criterion at this scale —
+    # the pair is what closes the gap
+    assert err_single > eps, (err_pair, err_single)
+    assert err_pair < 0.5 * err_single
+    # the pure-f32 compensated self-check (what bench.py runs on TPU,
+    # where f64 is unavailable) agrees with the f64 oracle
+    err_comp = float(s.stored_residual_err(st2, divv=divv))
+    assert abs(err_comp - err_pair) < 0.2 * err_pair + 1e-6, (
+        err_comp, err_pair)
+
+
+def test_stored_pair_pallas_defect_path():
+    """The hybrid Pallas solve's defect-correction exit packages the
+    converged iterate p1 (+) delta as an exact two_sum pair; the stored
+    pair's f64-evaluated residual matches the loop's exit err up to
+    evaluation noise (interpret mode, small grid)."""
+    cfg = ns.preset_gpu(nx=20, nt=1, compat=False, dtype="float32",
+                        use_pallas=True)
+    s = ns.ChorinSolver(cfg)
+    assert s.acc_pallas == "defect"
+    st = s.init_state()
+    st, _ = s.step_jit(st)
+    divv = s.predictor_divv(st)
+    st2, stats = s.step_jit(st)
+    assert st2.pr_lo is not None
+    err_pair = _err_f64(s, np.asarray(st2.pr, np.float64)
+                        + np.asarray(st2.pr_lo, np.float64), divv)
+    eps = cfg.numerics.eps_it
+    assert err_pair < max(eps, 2.0 * float(stats.err)), (
+        err_pair, float(stats.err))
+
+
+def test_stored_pair_checkpoint_roundtrip(tmp_path):
+    """pr_lo survives checkpoint save/load bit-for-bit."""
+    from navierstokes3d_tpu.io import checkpoint
+    cfg = ns.preset_gpu(nx=20, nt=1, compat=False, dtype="float32",
+                        use_pallas=True)
+    s = ns.ChorinSolver(cfg)
+    st, _ = s.step_jit(s.init_state())
+    assert st.pr_lo is not None
+    p = checkpoint.save_checkpoint(str(tmp_path / "ck.npz"), st, 1,
+                                   pressure_split=s.pressure_split)
+    st2, it = checkpoint.load_checkpoint(str(tmp_path / "ck.npz"),
+                                         expect_pressure_split=True)
+    assert it == 1 and st2.pr_lo is not None
+    np.testing.assert_array_equal(np.asarray(st.pr_lo),
+                                  np.asarray(st2.pr_lo))
+    np.testing.assert_array_equal(np.asarray(st.pr), np.asarray(st2.pr))
