@@ -65,8 +65,46 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--log-jsonl", default=None,
                     help="append one JSON record per step (it, iters, err, "
                          "wall) to this file")
+    ap.add_argument("--on-clamp", choices=("warn", "abort", "gather"),
+                    default="warn",
+                    help="escalation when a step reports clamped advection "
+                         "departure points (the select-shift window k was "
+                         "exceeded; the step already computed "
+                         "reference-divergent values there): 'warn' keeps "
+                         "going, 'abort' exits non-zero, 'gather' switches "
+                         "the advection backend to the exact global-clamp "
+                         "gather for all subsequent steps")
     ap.add_argument("--quiet", action="store_true")
     return ap
+
+
+def clamp_escalation(policy, solver, it, n_clamped, rebuild_step):
+    """Apply the --on-clamp policy after a step reported clamped
+    semi-Lagrangian departure points (ops/advect._backtrack_selectshift
+    counts points whose displacement exceeded the window k — there the
+    select-shift result differs from the reference's global-bound clamp,
+    gpu.jl:290-293). Safety envelope: with the advective CFL constraint
+    binding, displacement in cells = CFL_adv*|V|/vin, so k=2 covers
+    |V| <= 2*vin/CFL_adv (docs/numerics.md).
+
+    Returns a replacement step function when the policy swaps backends
+    (else None); raises SystemExit for 'abort'."""
+    if not n_clamped:
+        return None
+    msg = (f"step {it}: {n_clamped} advection departure points exceeded "
+           f"the select-shift window k={solver.advect_k} (safe envelope "
+           f"|V| <= {solver.advect_k}*vin/CFL_adv; values there differ "
+           "from the reference's gather semantics)")
+    if policy == "abort":
+        raise SystemExit("ABORT: " + msg)
+    print("WARNING: " + msg, file=sys.stderr)
+    if policy == "gather" and solver.advect_method != "gather":
+        print("on-clamp=gather: switching the advection backend to "
+              "'gather' (exact global-clamp semantics) for subsequent "
+              "steps", file=sys.stderr)
+        solver.advect_method = "gather"
+        return rebuild_step()
+    return None
 
 
 def main(argv=None):
@@ -91,7 +129,6 @@ def main(argv=None):
 
     mesh = None
     fullstep = False
-    step = solver.step_jit
     if args.mesh:
         from navierstokes3d_tpu.parallel import make_mesh, shard_state
         shape = tuple(int(p) for p in args.mesh.lower().split("x"))
@@ -102,12 +139,21 @@ def main(argv=None):
                 mesh_shape=shape, halo=args.halo_width)))
             if args.comm == "fullstep":
                 from navierstokes3d_tpu.parallel import fullstep as fsmod
-                step = solver.step_fullstep_jit(mesh)
                 fullstep = True
-            else:
-                step = solver.step_shard_map_jit(mesh)
-        else:
-            step = solver.step_sharded_jit(mesh)
+
+    def build_step():
+        if mesh is None:
+            # jit a fresh closure, not the bound method: equal bound
+            # methods share jax's trace cache, so a rebuild after
+            # solver.advect_method changed would reuse the stale trace
+            return jax.jit(lambda st: solver.step(st), donate_argnums=0)
+        if args.comm == "fullstep":
+            return solver.step_fullstep_jit(mesh)
+        if args.comm == "shard_map":
+            return solver.step_shard_map_jit(mesh)
+        return solver.step_sharded_jit(mesh)
+
+    step = build_step()
 
     it0 = 0
     if args.resume:
@@ -188,11 +234,10 @@ def main(argv=None):
             print(f"#it = {it}  iters = {rec.poisson_iters}  "
                   f"err = {rec.err:.3e}  wall = {rec.wall_s:.3f}s",
                   file=sys.stderr)
-        if n_clamped:
-            print(f"WARNING: step {it}: {n_clamped} advection departure "
-                  "points exceeded the select-shift window (run likely "
-                  "diverging; semantics differ from reference gather here)",
-                  file=sys.stderr)
+        new_step = clamp_escalation(args.on_clamp, solver, it, n_clamped,
+                                    build_step)
+        if new_step is not None:
+            step = new_step
         if args.save and it % args.nsave == 0:
             dump_save(it, state)
         if args.vis and it % args.nvis == 0:
