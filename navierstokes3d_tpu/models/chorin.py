@@ -90,6 +90,7 @@ class ChorinSolver:
         # displacement bound (ops/advect.py), clamp-counted beyond.
         self.advect_k = int(os.environ.get("NS3D_ADVECT_K", "2"))
         self._init_pallas()
+        self._init_advect_pallas()
         self.step_jit = jax.jit(self.step, donate_argnums=0)
 
     def _init_split(self):
@@ -251,6 +252,30 @@ class ChorinSolver:
                 interpret=interpret, mode=mode, extended=True,
                 folded=self._pallas_folded)
 
+    def _init_advect_pallas(self):
+        """Build the fused select-shift advection kernels (kernels/advect
+        .py) when the hot path can use them: TPU float32, non-compat, and
+        the select-shift method active. The XLA select-shift re-reads the
+        source once per shifted slice (~25 ms of the 255-grid step); the
+        Pallas form keeps the slab in VMEM and is bit-identical under jit
+        (tests/test_advect_pallas.py). NS3D_ADVECT=selectshift/gather
+        forces the jnp backends; NS3D_ADVECT_PALLAS=0 opts out without
+        changing the method."""
+        self._advect_pallas = None
+        cfg, grid = self.cfg, self.grid
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        want = (on_tpu and self.dtype == jnp.float32 and not cfg.compat
+                and self.advect_method == "selectshift"
+                and "NS3D_ADVECT" not in os.environ
+                and os.environ.get("NS3D_ADVECT_PALLAS") != "0"
+                and os.environ.get("NS3D_PALLAS") != "0")
+        if not want:
+            return
+        from ..kernels.advect import build_advect
+        self._advect_pallas = build_advect(
+            grid.nx, grid.ny, grid.nz, grid.dt, grid.dx, grid.dy, grid.dz,
+            k=self.advect_k, dtype=self.dtype, interpret=False)
+
     def step_sharded_jit(self, mesh):
         """Jitted step over a 3D device mesh (global-view SPMD path).
 
@@ -274,7 +299,8 @@ class ChorinSolver:
         poisson_fn = functools.partial(self.poisson_solve,
                                        allow_pallas=allow_pallas,
                                        want_pair=False)
-        step = lambda state: self._step_impl(state, poisson_fn)
+        step = lambda state: self._step_impl(
+            state, poisson_fn, allow_pallas_advect=allow_pallas)
         # stats sharding template: derive the pytree structure (which
         # optional channels the selected backend emits) by abstract
         # evaluation instead of re-encoding the dispatch logic here
@@ -1053,7 +1079,9 @@ class ChorinSolver:
         _, emax = comp(state_after.pr, lo, rhs_hi, rhs_lo)
         return emax * (grid.ly * grid.ly) / phys.psc
 
-    def _step_impl(self, state: FlowState, poisson_fn) -> Tuple[FlowState, StepStats]:
+    def _step_impl(self, state: FlowState, poisson_fn,
+                   allow_pallas_advect: bool = True
+                   ) -> Tuple[FlowState, StepStats]:
         grid, phys = self.grid, self.cfg.physics
         rho, mu, g = phys.rho, phys.mu, phys.g
         dt = grid.dt
@@ -1079,11 +1107,17 @@ class ChorinSolver:
         vx, vy, vz = ph.correct_v(vx, vy, vz, pr, dt, rho, dx, dy, dz)
         c, vx, vy, vz = apply_cylinder(c, vx, vy, vz, self.masks)
         vx, vy, vz = self.set_bc_vel(vx, vy, vz)
-        vx, vy, vz, c, n_clamped = advect(vx, vy, vz, c, dt, dx, dy, dz,
-                                          compat=self.cfg.compat,
-                                          method=self.advect_method,
-                                          with_stats=True,
-                                          k=self.advect_k)
+        # gate on advect_method at trace time: clamp escalation (run.py)
+        # may flip the method to 'gather' and re-jit
+        if (self._advect_pallas is not None and allow_pallas_advect
+                and self.advect_method == "selectshift"):
+            vx, vy, vz, c, n_clamped = self._advect_pallas(vx, vy, vz, c)
+        else:
+            vx, vy, vz, c, n_clamped = advect(vx, vy, vz, c, dt, dx, dy,
+                                              dz, compat=self.cfg.compat,
+                                              method=self.advect_method,
+                                              with_stats=True,
+                                              k=self.advect_k)
         new_state = FlowState(pr=pr, vx=vx, vy=vy, vz=vz, c=c,
                               dprdtau=dprdtau, pr_lo=pr_lo)
         return new_state, stats.replace(advect_clamped=n_clamped)

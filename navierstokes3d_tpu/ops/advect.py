@@ -152,22 +152,28 @@ def _backtrack_selectshift(a_o, vxc, vyc, vzc, starts, dt, dx, dy, dz,
     acc = jnp.zeros(rs, dtype)
     # slice origin of region cell 0 in the padded array along each axis
     bx, by, bz = P + sx - 1, P + sy - 1, P + sz - 1
-    for o in range(-P, k + 1):
-        wx = (jnp.where(ox1 == o, one - tx, zero)
-              + jnp.where(ox2 == o, tx, zero))
-        for p in range(-P, k + 1):
-            wy = (jnp.where(oy1 == p, one - ty, zero)
-                  + jnp.where(oy2 == p, ty, zero))
-            wxy = wx * wy
-            for q in range(-P, k + 1):
-                wz = (jnp.where(oz1 == q, one - tz, zero)
-                      + jnp.where(oz2 == q, tz, zero))
+    # Term order is (p, q, o) — y, then z, then x innermost — with the
+    # term evaluated as (wx * (wy*wz)) * sample. The Pallas kernel
+    # (kernels/advect.py) hoists one cyclic lane roll per (p, q) out of
+    # its x-offset loop, so this order lets it match the jnp accumulation
+    # BIT-identically while keeping a single rolled slab live in VMEM.
+    wxs = [(jnp.where(ox1 == o, one - tx, zero)
+            + jnp.where(ox2 == o, tx, zero))
+           for o in range(-P, k + 1)]
+    for p in range(-P, k + 1):
+        wy = (jnp.where(oy1 == p, one - ty, zero)
+              + jnp.where(oy2 == p, ty, zero))
+        for q in range(-P, k + 1):
+            wz = (jnp.where(oz1 == q, one - tz, zero)
+                  + jnp.where(oz2 == q, tz, zero))
+            wyz = wy * wz
+            for io, o in enumerate(range(-P, k + 1)):
                 sl = ap[bx + o:bx + o + rs[0],
                         by + p:by + p + rs[1],
                         bz + q:bz + q + rs[2]]
-                acc = acc + (wxy * wz) * sl
+                acc = acc + (wxs[io] * wyz) * sl
         # split the (2k+2)^3-term accumulation into one fused kernel per
-        # x-offset: the fully-fused form exceeds XLA's 16MB scoped-VMEM
+        # y-offset: the fully-fused form exceeds XLA's 16MB scoped-VMEM
         # budget at 255-class grids
         acc = jax.lax.optimization_barrier(acc)
     return acc, n_clamped

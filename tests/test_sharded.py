@@ -102,32 +102,109 @@ def test_three_steps_sharded_from_init():
     assert np.isfinite(float(stats_shard.err))
 
 
-def test_three_steps_sharded_from_init_strict_cfl09():
-    """Strict multi-step from-init equality (VERDICT r2 #7): at
-    CFL_adv=0.9 the from-init semi-Lagrangian displacement is 0.9 cells —
-    off the backtrack formula's integer-δ discontinuity (δ=1.0,
-    gpu.jl:295-304) that forces the relaxed tolerances of
-    test_three_steps_sharded_from_init. Away from that measure-zero set
-    the SPMD-partitioned program matches the single-device trajectory to
-    f64 rounding for all three steps, with identical Poisson iteration
-    counts — no chaos caveats needed."""
+def _integer_delta_margin(solver, state):
+    """Min distance to the nearest integer over every semi-Lagrangian
+    displacement the step's advection will see, computed on the EXACT
+    pre-advect velocities (the tau/predict/cylinder/poisson/correct/bc
+    chain of ChorinSolver._step_impl applied to `state`).
+
+    The backtrack formula t = (δ>0) - δ%1 with i1 = floor(idx-δ)
+    (gpu.jl:288-304) is discontinuous at EVERY integer δ — including 0:
+    for 0 < δ < ulp(idx), idx-δ rounds back to idx so all weight lands on
+    offset +1, a full-cell jump. Exact zeros (BC/cylinder-assigned) are
+    deterministic on both programs and excluded from the margin."""
+    import jax.numpy as jnp
+    from navierstokes3d_tpu.ops import physics as ph
+    from navierstokes3d_tpu.ops.cylinder import apply_cylinder
+    g, phys = solver.grid, solver.cfg.physics
+    g_eff = 0.0 if solver.pressure_split else phys.g
+    taus = ph.update_tau(state.vx, state.vy, state.vz, phys.mu,
+                         g.dx, g.dy, g.dz)
+    vx, vy, vz = ph.predict_v(state.vx, state.vy, state.vz, *taus,
+                              phys.rho, g_eff, g.dt, g.dx, g.dy, g.dz)
+    c, vx, vy, vz = apply_cylinder(state.c, vx, vy, vz, solver.masks)
+    divv = ph.update_divv(vx, vy, vz, g.dx, g.dy, g.dz)
+    pr, _, _ = solver.poisson_solve(state.pr, state.dprdtau, divv)
+    vx, vy, vz = ph.correct_v(vx, vy, vz, pr, g.dt, phys.rho,
+                              g.dx, g.dy, g.dz)
+    c, vx, vy, vz = apply_cylinder(c, vx, vy, vz, solver.masks)
+    vx, vy, vz = solver.set_bc_vel(vx, vy, vz)
+
+    def branch_avgs():
+        # the four advected branches' face-averaged advecting velocities
+        # (ops/advect.py / gpu.jl:308-332, compat=False)
+        yield (vx[1:-1], 0.25 * (vy[:-1, :-1] + vy[:-1, 1:]
+                                 + vy[1:, :-1] + vy[1:, 1:]),
+               0.25 * (vz[:-1, :, :-1] + vz[:-1, :, 1:]
+                       + vz[1:, :, :-1] + vz[1:, :, 1:]))
+        yield (0.25 * (vx[:-1, :-1] + vx[1:, :-1]
+                       + vx[:-1, 1:] + vx[1:, 1:]),
+               vy[:, 1:-1],
+               0.25 * (vz[:, :-1, :-1] + vz[:, :-1, 1:]
+                       + vz[:, 1:, :-1] + vz[:, 1:, 1:]))
+        yield (0.25 * (vx[:-1, :, :-1] + vx[1:, :, :-1]
+                       + vx[:-1, :, 1:] + vx[1:, :, 1:]),
+               0.25 * (vy[:, :-1, :-1] + vy[:, 1:, :-1]
+                       + vy[:, :-1, 1:] + vy[:, 1:, 1:]),
+               vz[:, :, 1:-1])
+        yield (0.5 * (vx[:-1] + vx[1:]), 0.5 * (vy[:, :-1] + vy[:, 1:]),
+               0.5 * (vz[:, :, :-1] + vz[:, :, 1:]))
+
+    margin = np.inf
+    for vxc, vyc, vzc in branch_avgs():
+        for v, d in ((vxc, g.dx), (vyc, g.dy), (vzc, g.dz)):
+            delta = np.asarray(g.dt * v / jnp.asarray(d))
+            live = delta != 0.0   # bitwise zeros (BC/cylinder-assigned)
+            if live.any():
+                dist = np.abs(delta[live] - np.round(delta[live]))
+                margin = min(margin, float(dist.min()))
+    return margin
+
+
+def test_three_steps_sharded_strict_off_integer_delta():
+    """Strict multi-step sharded equality (VERDICT r2 #7): away from the
+    backtrack formula's integer-δ discontinuities the SPMD-partitioned
+    program tracks the single-device trajectory at roundoff level for
+    three chained steps, with identical Poisson iteration counts every
+    step and the off-ℤ premise ASSERTED, not assumed.
+
+    Why not from-init: the init state has vy = vz ≡ 0, and δ = 0 is
+    itself on the discontinuity set of t = (δ>0) - δ%1 (gpu.jl:301) —
+    cancellation noise at the 1e-20 level decides a full-cell weight
+    flip wherever a velocity crosses zero, so two differently-fused
+    compilations legitimately diverge at O(field) on the second step
+    (observed: 4%-of-field vy jumps). Any physical trajectory of this
+    flow grows tiny transverse velocities with spatial zero crossings,
+    so the strict claim is only well-posed on states whose in-step
+    displacements stay bounded away from every integer — here the
+    generic-state machinery of test_step_sharded_equals_single, whose
+    margins are ~1e-4 cells (asserted > 1e-8 each step; cross-program
+    δ noise is ~1e-15, seven orders smaller; bitwise-zero δs are
+    BC/cylinder assignments, identical in both programs).
+
+    Tolerance schedule, not raw f64 rounding: with the short Poisson
+    budget the random state is never fully projected and the fields grow
+    ~400x/step, carrying cross-compilation roundoff with them
+    (measured worst relative diffs: 2e-14, 7e-12, 8e-9). The schedule
+    tracks that linear amplification with ~25x headroom while staying
+    5+ orders below the O(1e-2-relative) full-cell weight flips the
+    relaxed from-init test must tolerate — so a single flip anywhere in
+    three steps fails the test, which is its point."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     cfg = ns.preset_multi(nx=16, nt=3, compat=False)
-    cfg = cfg.replace(numerics=dataclasses.replace(cfg.numerics,
-                                                   cfl_adv=0.9))
+    cfg = cfg.replace(numerics=dataclasses.replace(
+        cfg.numerics, niter_scale=1))
     solver = ns.ChorinSolver(cfg)
-    # the advective constraint must bind dt for the displacement to be
-    # exactly 0.9 cells (otherwise the test premise is silently void)
-    g = solver.grid
-    h = max(g.dx, g.dy, g.dz)
-    assert abs(g.dt - 0.9 * h / cfg.physics.vin) < 1e-15
     mesh = make_mesh(devices=jax.devices()[:8])
     step_sh = solver.step_sharded_jit(mesh)
 
-    st_single = solver.init_state()
-    st_shard = shard_state(solver.init_state(), mesh)
-    for _ in range(3):
+    st_single = _random_state(solver, seed=3)
+    st_shard = shard_state(_random_state(solver, seed=3), mesh)
+    atol = (1e-12, 2e-10, 2e-7)
+    for k in range(3):
+        m = _integer_delta_margin(solver, st_single)
+        assert m > 1e-8, f"premise violated at step {k}: δ margin {m}"
         st_single, stats_single = solver.step_jit(st_single)
         st_shard, stats_shard = step_sh(st_shard)
         assert int(stats_single.iters) == int(stats_shard.iters)
@@ -136,7 +213,7 @@ def test_three_steps_sharded_from_init_strict_cfl09():
             b = np.asarray(getattr(st_shard, name))
             scale = max(1.0, np.abs(a).max())
             np.testing.assert_allclose(b / scale, a / scale, rtol=0,
-                                       atol=1e-12, err_msg=name)
+                                       atol=atol[k], err_msg=name)
 
 
 @pytest.mark.parametrize("variant", ["multi", "gpu"])
