@@ -276,6 +276,16 @@ class ChorinSolver:
             grid.nx, grid.ny, grid.nz, grid.dt, grid.dx, grid.dy, grid.dz,
             k=self.advect_k, dtype=self.dtype, interpret=False)
 
+    def _unroll2(self, budget: int) -> bool:
+        """Whether a convergence loop with this iteration budget can run
+        the 2x-unrolled body (see phase 1 of the folded solve): chunk
+        boundaries and the budget end must both land on even iteration
+        parity, so exit decisions and iteration counts stay bit-identical
+        to the 1x loop. NS3D_UNROLL2=0 opts out (perf triage)."""
+        return (self.grid.nchk % 2 == 0 and budget % 2 == 0
+                and budget >= 2
+                and os.environ.get("NS3D_UNROLL2", "1") != "0")
+
     def step_sharded_jit(self, mesh):
         """Jitted step over a 3D device mesh (global-view SPMD path).
 
@@ -762,15 +772,44 @@ class ChorinSolver:
             # flat iteration-level loop on the kernel-emitted residual
             # (ptloop.pt_loop_fused); the exact first iteration above is
             # global iteration 1.
-            def step1(carry, it):
-                pp, df = carry
-                pp, df, ec = iter_fn(pp, df, rhs_f,
-                                     (it + 1) % grid.nchk == 0)
-                return (pp, df), jnp.max(ec) * err_scale, jnp.int32(1)
+            budget1 = nchunks * grid.nchk + (0 if hybrid else rem)
+            if self._unroll2(budget1):
+                # 2x-unrolled body: the while-loop carry's pr buffer
+                # ping-pongs through the two calls and returns to its
+                # slot, so XLA's fixed per-slot buffer assignment needs
+                # no per-iteration carry copy (the 1x body must copy the
+                # kernel's fresh pr output back into the carry buffer
+                # every iteration — pr cannot alias in-place because its
+                # input blocks are read at +-1-row offsets). Global
+                # iteration 2 runs ahead of the loop so bodies start at
+                # even parity; chunk boundaries (even, since nchk is
+                # even) then always land on call 2, and call 1's check
+                # flag is identically false. Kernel-call sequence, flags,
+                # and exit decisions are exactly the 1x loop's, so
+                # iteration counts and fields are bit-identical.
+                pr_pad, dpr_f, _ = iter_fn(pr_pad, dpr_f, rhs_f, False)
+
+                def step1(carry, it):
+                    pp, df = carry
+                    pp, df, _ = iter_fn(pp, df, rhs_f, False)
+                    pp, df, ec = iter_fn(pp, df, rhs_f,
+                                         (it + 2) % grid.nchk == 0)
+                    return ((pp, df), jnp.max(ec) * err_scale,
+                            jnp.int32(2))
+
+                it0 = 2
+            else:
+                def step1(carry, it):
+                    pp, df = carry
+                    pp, df, ec = iter_fn(pp, df, rhs_f,
+                                         (it + 1) % grid.nchk == 0)
+                    return ((pp, df), jnp.max(ec) * err_scale,
+                            jnp.int32(1))
+
+                it0 = 1
 
             (pr_pad, dpr_f), it1, err1, hist1 = pt_loop_fused(
-                step1, (pr_pad, dpr_f), 1,
-                nchunks * grid.nchk + (0 if hybrid else rem),
+                step1, (pr_pad, dpr_f), it0, budget1,
                 grid.nchk, nchunks, eps1, self.dtype,
                 stall=stall1 if hybrid else self._stall)
         else:
@@ -820,11 +859,23 @@ class ChorinSolver:
             errh = emax * err_scale
             rhs_c = -r0
 
-            def stepd(carry, it):
-                dl, dd, ec = iter_fn(*carry, rhs_c,
-                                     (it + 1) % grid.nchk == 0)
-                return ((dl, dd),
-                        jnp.max(ec) * err_scale, jnp.int32(1))
+            if self._unroll2(n2):
+                # same 2x body as phase 1 (buffer ping-pong, no carry
+                # copy); it0=0 is already even, and the loop may exit
+                # before its first body via err0=errh, so no iteration
+                # runs ahead of it here.
+                def stepd(carry, it):
+                    dl, dd, _ = iter_fn(*carry, rhs_c, False)
+                    dl, dd, ec = iter_fn(dl, dd, rhs_c,
+                                         (it + 2) % grid.nchk == 0)
+                    return ((dl, dd),
+                            jnp.max(ec) * err_scale, jnp.int32(2))
+            else:
+                def stepd(carry, it):
+                    dl, dd, ec = iter_fn(*carry, rhs_c,
+                                         (it + 1) % grid.nchk == 0)
+                    return ((dl, dd),
+                            jnp.max(ec) * err_scale, jnp.int32(1))
 
             # delta starts at 0 but dprdtau CARRIES OVER: by linearity
             # the correction then continues the phase-1 trajectory
@@ -884,16 +935,28 @@ class ChorinSolver:
             hi_f, lo_f, dpf0, rhf = pack_e(pr1, dpr1, rhs3d)
 
             if folded:
-                def step2(carry, it):
-                    hi, lo, dpf = carry
-                    hi, lo, dpf, ec = iter_e(hi, lo, dpf, rhf,
-                                             (it + 1) % grid.nchk == 0)
-                    return ((hi, lo, dpf),
-                            jnp.max(ec) * err_scale, jnp.int32(1))
+                budget2 = nchunks * grid.nchk + rem
+                if self._unroll2(budget2):
+                    # 2x body (see phase 1): the (hi, lo) pair buffers
+                    # ping-pong through the two calls with no carry copy
+                    def step2(carry, it):
+                        hi, lo, dpf = carry
+                        hi, lo, dpf, _ = iter_e(hi, lo, dpf, rhf, False)
+                        hi, lo, dpf, ec = iter_e(
+                            hi, lo, dpf, rhf, (it + 2) % grid.nchk == 0)
+                        return ((hi, lo, dpf),
+                                jnp.max(ec) * err_scale, jnp.int32(2))
+                else:
+                    def step2(carry, it):
+                        hi, lo, dpf = carry
+                        hi, lo, dpf, ec = iter_e(
+                            hi, lo, dpf, rhf, (it + 1) % grid.nchk == 0)
+                        return ((hi, lo, dpf),
+                                jnp.max(ec) * err_scale, jnp.int32(1))
 
                 (hi, lo, dpf), it2, err2, hist2 = pt_loop_fused(
                     step2, (hi_f, lo_f, dpf0), 0,
-                    nchunks * grid.nchk + rem, grid.nchk, nchunks,
+                    budget2, grid.nchk, nchunks,
                     eps_it, self.dtype, stall=self._stall)
                 prc = (hi, lo)
             else:

@@ -276,3 +276,41 @@ def test_pallas_slab_roll_constraint_scoped():
     assert s._pallas is not None
     st, stats = s.step_jit(s.init_state())
     assert np.isfinite(np.asarray(st.pr)).all()
+
+
+def test_unroll2_loop_bitwise_equivalent(monkeypatch):
+    """The 2x-unrolled convergence-loop body (ChorinSolver._unroll2;
+    removes the while-carry's per-iteration pr copy by buffer ping-pong)
+    must be a pure loop-structure change: identical kernel-call sequence
+    and flags as the 1x loop, hence bit-identical fields and iteration
+    counts. nx=17 gives nchk=10 (even) with rem=0, so both phase 1 and
+    the defect-correction loop satisfy the parity gate and actually run
+    unrolled."""
+    import dataclasses
+    # gpu preset: pressure split + defect accuracy, so phase 1 AND the
+    # defect-correction loop both run (iters_ext > 0 asserted below)
+    cfg = ns.preset_gpu(nx=17, nt=1, compat=False, dtype="float32",
+                        use_pallas=True)
+
+    def run():
+        s = ns.ChorinSolver(cfg)
+        assert s._pallas is not None and s._pallas_folded
+        st, stats = s.step_jit(s.init_state())
+        return st, stats
+
+    s_probe = ns.ChorinSolver(cfg)
+    assert s_probe._unroll2(s_probe.grid.niter
+                            - s_probe.grid.niter % s_probe.grid.nchk)
+    st2, stats2 = run()
+    monkeypatch.setenv("NS3D_UNROLL2", "0")
+    st1, stats1 = run()
+    assert int(stats1.iters) == int(stats2.iters)
+    assert (stats1.iters_ext is None) == (stats2.iters_ext is None)
+    if stats1.iters_ext is not None:
+        assert int(stats1.iters_ext) == int(stats2.iters_ext)
+    np.testing.assert_array_equal(np.asarray(stats1.err),
+                                  np.asarray(stats2.err))
+    for name in ("pr", "vx", "vy", "vz", "c", "dprdtau"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st1, name)), np.asarray(getattr(st2, name)),
+            err_msg=name)
