@@ -91,6 +91,7 @@ class ChorinSolver:
         self.advect_k = int(os.environ.get("NS3D_ADVECT_K", "2"))
         self._init_pallas()
         self._init_advect_pallas()
+        self._init_fused_step()
         self.step_jit = jax.jit(self.step, donate_argnums=0)
 
     def _init_split(self):
@@ -275,6 +276,35 @@ class ChorinSolver:
         self._advect_pallas = build_advect(
             grid.nx, grid.ny, grid.nz, grid.dt, grid.dx, grid.dy, grid.dz,
             k=self.advect_k, dtype=self.dtype, interpret=False)
+
+    def _init_fused_step(self):
+        """Build the fused non-Poisson chain kernels (kernels/fused_step
+        .py) when the hot path can use them: TPU float32, non-compat.
+        The predict kernel (stress+predictor+cylinder+divergence) serves
+        both variants; the correct kernel folds the gpu variant's BC
+        stack (gpu.jl:264-279), so the multi variant keeps the jnp
+        correct/BC path. NS3D_FUSED_STEP=0 / NS3D_PALLAS=0 opt out."""
+        self._fused_pre = None
+        self._fused_post = None
+        cfg, grid = self.cfg, self.grid
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        want = (on_tpu and self.dtype == jnp.float32 and not cfg.compat
+                and os.environ.get("NS3D_FUSED_STEP") != "0"
+                and os.environ.get("NS3D_PALLAS") != "0")
+        if not want:
+            return
+        from ..kernels.fused_step import build_correct, build_predict
+        phys = cfg.physics
+        g_eff = 0.0 if self.pressure_split else phys.g
+        self._fused_pre = build_predict(
+            grid.nx, grid.ny, grid.nz, dt=grid.dt, dx=grid.dx, dy=grid.dy,
+            dz=grid.dz, mu=phys.mu, rho=phys.rho, g_eff=g_eff,
+            masks=self.masks, dtype=self.dtype)
+        if cfg.variant == "gpu":
+            self._fused_post = build_correct(
+                grid.nx, grid.ny, grid.nz, dt=grid.dt, dx=grid.dx,
+                dy=grid.dy, dz=grid.dz, rho=phys.rho, masks=self.masks,
+                dtype=self.dtype)
 
     def _unroll2(self, budget: int) -> bool:
         """Whether a convergence loop with this iteration budget can run
@@ -1078,7 +1108,12 @@ class ChorinSolver:
                                           err_hist=hist)
 
         def step(state):
-            return self._step_impl(state, poisson)
+            # pallas_call cannot be partitioned by the SPMD partitioner:
+            # on a real multi-device mesh the global-view parts of the
+            # step (advect, fused pre/post) must use the jnp ops — only
+            # the shard_map'd Poisson solve above composes with Pallas.
+            return self._step_impl(state, poisson,
+                                   allow_pallas_advect=(mesh.size == 1))
 
         sh = state_shardings(mesh)
         rep = replicated(mesh)
@@ -1108,6 +1143,10 @@ class ChorinSolver:
         hands to its Poisson solve (the _step_impl prelude, bit-exact).
         Jit-safe; use to snapshot the RHS before a donating step_jit call
         deletes `state` (stored_residual_err consumes it)."""
+        if self._fused_pre is not None:
+            # the step's own prelude (bit-exact with _step_impl's fused
+            # branch, which is what a donating step_jit actually ran)
+            return self._fused_pre(state.vx, state.vy, state.vz)[3]
         grid, phys = self.grid, self.cfg.physics
         dx, dy, dz = grid.dx, grid.dy, grid.dz
         g_eff = 0.0 if self.pressure_split else phys.g
@@ -1155,11 +1194,21 @@ class ChorinSolver:
         # dt*g per step); folding the cancellation out keeps it exact in
         # float32 instead of round-tripping through two large terms.
         g_eff = 0.0 if self.pressure_split else g
-        taus = ph.update_tau(state.vx, state.vy, state.vz, mu, dx, dy, dz)
-        vx, vy, vz = ph.predict_v(state.vx, state.vy, state.vz, *taus,
-                                  rho, g_eff, dt, dx, dy, dz)
-        c, vx, vy, vz = apply_cylinder(state.c, vx, vy, vz, self.masks)
-        divv = ph.update_divv(vx, vy, vz, dx, dy, dz)
+        fused = self._fused_pre is not None and allow_pallas_advect
+        if fused:
+            # fused stress+predictor+cylinder+divergence (one HBM pass
+            # over the velocities instead of ~15 XLA fusions)
+            vx, vy, vz, divv = self._fused_pre(state.vx, state.vy,
+                                               state.vz)
+            c = jnp.where(self.masks.mask_c[:, :, None],
+                          jnp.ones((), state.c.dtype), state.c)
+        else:
+            taus = ph.update_tau(state.vx, state.vy, state.vz, mu,
+                                 dx, dy, dz)
+            vx, vy, vz = ph.predict_v(state.vx, state.vy, state.vz, *taus,
+                                      rho, g_eff, dt, dx, dy, dz)
+            c, vx, vy, vz = apply_cylinder(state.c, vx, vy, vz, self.masks)
+            divv = ph.update_divv(vx, vy, vz, dx, dy, dz)
         pr, dprdtau, stats = poisson_fn(state.pr, state.dprdtau, divv)
         # pop the stored-pair low word out of the internal stats channel
         # into the state (the corrector and the next solve's warm start
@@ -1167,9 +1216,14 @@ class ChorinSolver:
         # eps_it across the step boundary, docs/numerics.md)
         pr_lo = stats.pr_lo
         stats = stats.replace(pr_lo=None)
-        vx, vy, vz = ph.correct_v(vx, vy, vz, pr, dt, rho, dx, dy, dz)
-        c, vx, vy, vz = apply_cylinder(c, vx, vy, vz, self.masks)
-        vx, vy, vz = self.set_bc_vel(vx, vy, vz)
+        if self._fused_post is not None and allow_pallas_advect:
+            # fused correction+cylinder+BC stack; C's (idempotent) second
+            # mask set is skipped — the fused prelude above already ran it
+            vx, vy, vz = self._fused_post(vx, vy, vz, pr)
+        else:
+            vx, vy, vz = ph.correct_v(vx, vy, vz, pr, dt, rho, dx, dy, dz)
+            c, vx, vy, vz = apply_cylinder(c, vx, vy, vz, self.masks)
+            vx, vy, vz = self.set_bc_vel(vx, vy, vz)
         # gate on advect_method at trace time: clamp escalation (run.py)
         # may flip the method to 'gather' and re-jit
         if (self._advect_pallas is not None and allow_pallas_advect

@@ -1,0 +1,123 @@
+"""Fused non-Poisson step kernels (kernels/fused_step.py) vs the jnp
+chain (ops/physics.py + ops/cylinder.py + bc.py).
+
+The kernels mirror the jnp chain's expression order and scalar rounding
+(see the module docstring), but unlike the advect kernel's select-gated
+accumulation, the predictor/corrector contain raw `v + s*f` updates that
+XLA may or may not contract into FMAs per compilation — the jnp backend
+differs from ITSELF across fusion splits the same way. The velocity
+asserts are therefore per-element ulp bounds (measured: <=1 ulp on
+<0.02% of points); the divergence gets an absolute bound scaled by the
+cancellation amplification of its stencil. Interpret mode on CPU; f32
+fields (the kernels' production dtype).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import navierstokes3d_tpu as ns
+from navierstokes3d_tpu.kernels.fused_step import (build_correct,
+                                                   build_predict)
+from navierstokes3d_tpu.ops import physics as ph
+from navierstokes3d_tpu.ops.cylinder import apply_cylinder
+
+
+def _setup(nx, variant="gpu", compat=False):
+    if variant == "gpu":
+        cfg = ns.preset_gpu(nx=nx, nt=1, compat=compat, dtype="float32")
+    else:
+        cfg = ns.preset_multi(nx=nx, nt=1, compat=compat, dtype="float32")
+    return ns.ChorinSolver(cfg)
+
+
+def _fields(nx, ny, nz, seed=0):
+    rng = np.random.default_rng(seed)
+    f = np.float32
+    vx = jnp.asarray(rng.normal(size=(nx + 1, ny, nz)).astype(f))
+    vy = jnp.asarray(rng.normal(size=(nx, ny + 1, nz)).astype(f))
+    vz = jnp.asarray(rng.normal(size=(nx, ny, nz + 1)).astype(f))
+    pr = jnp.asarray(rng.normal(size=(nx, ny, nz)).astype(f))
+    return vx, vy, vz, pr
+
+
+@pytest.mark.parametrize("nx", [17, 24])
+def test_predict_bitwise(nx):
+    s = _setup(nx)
+    g, phys = s.grid, s.cfg.physics
+    ny, nz = g.ny, g.nz
+    assert bool(np.asarray(s.masks.mask_vx).any()), "cylinder off-grid"
+    vx, vy, vz, _ = _fields(nx, ny, nz)
+    g_eff = 0.0 if s.pressure_split else phys.g
+    fn = build_predict(nx, ny, nz, dt=g.dt, dx=g.dx, dy=g.dy, dz=g.dz,
+                       mu=phys.mu, rho=phys.rho, g_eff=g_eff,
+                       masks=s.masks, interpret=True)
+
+    def ref(vx, vy, vz):
+        taus = ph.update_tau(vx, vy, vz, phys.mu, g.dx, g.dy, g.dz)
+        vx, vy, vz = ph.predict_v(vx, vy, vz, *taus, phys.rho, g_eff,
+                                  g.dt, g.dx, g.dy, g.dz)
+        _, vx, vy, vz = apply_cylinder(
+            jnp.zeros((nx, ny, nz), jnp.float32), vx, vy, vz, s.masks)
+        return vx, vy, vz, ph.update_divv(vx, vy, vz, g.dx, g.dy, g.dz)
+
+    got = jax.jit(fn)(vx, vy, vz)
+    want = jax.jit(ref)(vx, vy, vz)
+    for name, a, b in zip("vx vy vz".split(), got[:3], want[:3]):
+        np.testing.assert_array_almost_equal_nulp(
+            np.asarray(a), np.asarray(b), nulp=4)
+    # divv: the velocities are bit-exact, but the divergence is a DERIVED
+    # contraction — XLA's per-compilation FMA/reassociation freedom makes
+    # independently compiled evaluations of the same formula differ by a
+    # few ulp (the jnp backend differs from itself across fusion splits
+    # the same way — kernels/advect.py docstring). Assert a few-ulp bound
+    # against both the ref-jit divv and the definition applied to the
+    # kernel's own outputs.
+    dv_def = jax.jit(lambda a, b, c: ph.update_divv(a, b, c, g.dx, g.dy,
+                                                    g.dz))(*got[:3])
+    scale = np.abs(np.asarray(dv_def)).max()
+    for other in (dv_def, want[3]):
+        np.testing.assert_allclose(np.asarray(got[3]), np.asarray(other),
+                                   rtol=1e-5, atol=8 * 1.2e-7 * scale)
+
+
+@pytest.mark.parametrize("nx", [17, 24])
+def test_correct_bitwise(nx):
+    s = _setup(nx)
+    g, phys = s.grid, s.cfg.physics
+    ny, nz = g.ny, g.nz
+    vx, vy, vz, pr = _fields(nx, ny, nz, seed=3)
+    fn = build_correct(nx, ny, nz, dt=g.dt, dx=g.dx, dy=g.dy, dz=g.dz,
+                       rho=phys.rho, masks=s.masks, interpret=True)
+
+    def ref(vx, vy, vz, pr):
+        vx, vy, vz = ph.correct_v(vx, vy, vz, pr, g.dt, phys.rho,
+                                  g.dx, g.dy, g.dz)
+        _, vx, vy, vz = apply_cylinder(
+            jnp.zeros((nx, ny, nz), jnp.float32), vx, vy, vz, s.masks)
+        return s.set_bc_vel(vx, vy, vz)
+
+    got = jax.jit(fn)(vx, vy, vz, pr)
+    want = jax.jit(ref)(vx, vy, vz, pr)
+    for name, a, b in zip("vx vy vz".split(), got, want):
+        np.testing.assert_array_almost_equal_nulp(
+            np.asarray(a), np.asarray(b), nulp=4)
+
+
+def test_predict_then_correct_matches_step_prelude():
+    """Compose both kernels around a real Poisson solve input: the fused
+    chain's divv equals the solver's predictor_divv on a developed
+    state."""
+    s = _setup(17)
+    g = s.grid
+    state = s.init_state()
+    state, _ = s.step_jit(state)
+    fn = build_predict(g.nx, g.ny, g.nz, dt=g.dt, dx=g.dx, dy=g.dy,
+                       dz=g.dz, mu=s.cfg.physics.mu, rho=s.cfg.physics.rho,
+                       g_eff=0.0 if s.pressure_split else s.cfg.physics.g,
+                       masks=s.masks, interpret=True)
+    _, _, _, divv = jax.jit(fn)(state.vx, state.vy, state.vz)
+    want = jax.jit(s.predictor_divv)(state)
+    np.testing.assert_allclose(np.asarray(divv), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
