@@ -306,3 +306,251 @@ def build_advect(nx: int, ny: int, nz: int, dt: float, dx: float, dy: float,
         return u1(o1), u2(o2), u3(o3), u4(o4), n_clamped
 
     return advect_fn
+
+
+# ---- common-flat-layout variant (chains with kernels/fused_step.py) ----
+
+def build_advect_branch_flat(lay, n1: int, n2: int, n3: int, dt: float,
+                             dx: float, dy: float, dz: float, k: int,
+                             make_adv,
+                             write_rows: Optional[Tuple[int, int]] = None,
+                             lane_y: Optional[Tuple[int, int]] = None,
+                             lane_z: Optional[Tuple[int, int]] = None,
+                             interpret: bool = False):
+    """One advected field in the shared flat layout of
+    kernels/fused_step.CommonLayout (lane stride nz+1 for every staggered
+    field), with the face-averaged advecting velocities computed IN the
+    kernel from the raw velocity slabs — the XLA face-average fusions and
+    the per-field flatten/unflatten round trips of build_advect never
+    touch HBM.
+
+    make_adv(vx_e, vy_e, vz_e, L, R) -> (vxc, vyc, vzc) builds the (B, W)
+    advecting-velocity slabs for write rows [s*B, s*B+B) from the
+    extended velocity slabs (rows [s*B-1, s*B+B]; row r is e[1:B+1],
+    r-1 is e[0:B], r+1 is e[2:B+2]) using the lane-roll views L/R —
+    mirroring ops/advect.py's face-average expression order so weights
+    round identically. Accumulation term order and weight expressions are
+    those of build_advect_branch (bit-equal under matched compilation)."""
+    W, NZ, B, S = lay.W, lay.NZ, lay.B, lay.S
+    nyzp = lay.nyzp
+    jdtype = lay.dtype
+    itemsize = np.dtype(jdtype).itemsize
+    P = k + 1
+    if B < P:
+        raise ValueError(f"slab {B} must be >= k+1 = {P}")
+    dt_c = np.array(dt, np.dtype(jdtype))
+    dxs = (np.array(dx, np.dtype(jdtype)), np.array(dy, np.dtype(jdtype)),
+           np.array(dz, np.dtype(jdtype)))
+    kf = np.array(float(k), np.dtype(jdtype))
+
+    # per-lane rows (1, W) in the COMMON stride: y = j // (nz+1)
+    j = np.arange(W, dtype=np.int32)
+    jrow = j // NZ
+    zrow = j % NZ
+    real = (j < nyzp) & (jrow < n2) & (zrow < n3)
+    wmask = real
+    if lane_y is not None:
+        wmask = wmask & (jrow >= lane_y[0]) & (jrow <= lane_y[1])
+    if lane_z is not None:
+        wmask = wmask & (zrow >= lane_z[0]) & (zrow <= lane_z[1])
+    wr0, wr1 = write_rows if write_rows is not None else (0, n1 - 1)
+    idx_y = np.where(real, jrow, -1).astype(np.dtype(jdtype)) + 1.0
+    idx_z = np.where(real, zrow, -1).astype(np.dtype(jdtype)) + 1.0
+    rows_c = (jnp.asarray(idx_y.reshape(1, W)),
+              jnp.asarray(idx_z.reshape(1, W)),
+              jnp.asarray(wmask.reshape(1, W).astype(np.int32)))
+
+    offs = list(range(-P, k + 1))
+
+    def axis_terms(v, d_c, idx, n):
+        dl_raw = dt_c * v / d_c
+        dl = jnp.clip(dl_raw, -kf, kf)
+        i1 = jnp.clip(jnp.floor(idx - dl), 1.0, float(n))
+        t = (dl > 0).astype(jdtype) - jnp.fmod(dl, jnp.asarray(1.0, jdtype))
+        o1 = (i1 - idx).astype(jnp.int32)
+        o2 = (jnp.minimum(i1 + 1.0, float(n)) - idx).astype(jnp.int32)
+        return o1, o2, t, jnp.abs(dl_raw) > kf
+
+    def weight(o1, o2, t, o):
+        one = jnp.ones((), jdtype)
+        zero = jnp.zeros((), jdtype)
+        return (jnp.where(o1 == o, one - t, zero)
+                + jnp.where(o2 == o, t, zero))
+
+    def kernel(a_lo, a_mid, a_hi, vxl, vxm, vxh, vyl, vym, vyh,
+               vzl, vzm, vzh, iy_r, iz_r, wm_r, out_ref, ncl_ref):
+        sidx = pl.program_id(0)
+
+        def L(a, d):
+            return pltpu.roll(a, W - d, 1)
+
+        def R(a, d):
+            return pltpu.roll(a, d, 1)
+
+        def ext1(lo, mid, hi):
+            return jnp.concatenate([lo[B - 1:, :], mid[:, :], hi[:1, :]], 0)
+
+        vxe = ext1(vxl, vxm, vxh)
+        vye = ext1(vyl, vym, vyh)
+        vze = ext1(vzl, vzm, vzh)
+        vxc, vyc, vzc = make_adv(vxe, vye, vze, L, R)
+
+        a_ext = jnp.concatenate(
+            [a_lo[B - P:, :], a_mid[:, :], a_hi[:k, :]], axis=0)
+        gx = (sidx * B
+              + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0))
+        idx_x = gx.astype(jdtype) + 1.0
+        iy = iy_r[0:1, :]
+        iz = iz_r[0:1, :]
+
+        ox1, ox2, tx, cx = axis_terms(vxc, dxs[0], idx_x, n1)
+        oy1, oy2, ty, cy = axis_terms(vyc, dxs[1], iy, n2)
+        oz1, oz2, tz, cz = axis_terms(vzc, dxs[2], iz, n3)
+
+        wmask = ((wm_r[0:1, :] != 0) & (gx >= wr0) & (gx <= wr1))
+        clamped = (cx | cy | cz) & wmask
+        ncount = jnp.sum(clamped.astype(jnp.int32))
+
+        wxs = [weight(ox1, ox2, tx, o) for o in offs]
+
+        # identical accumulation structure to build_advect_branch, with
+        # the COMMON lane stride (nz+1) in the per-(p,q) roll distance
+        acc = jnp.zeros((B, W), jdtype)
+        for p_off in offs:
+            wy = weight(oy1, oy2, ty, p_off)
+            for q_off in offs:
+                wz = weight(oz1, oz2, tz, q_off)
+                wyz = wy * wz
+                d = (p_off * NZ + q_off) % W
+                r = a_ext if d == 0 else pltpu.roll(a_ext, W - d, 1)
+                for io, o_off in enumerate(offs):
+                    sl = r[P + o_off:P + o_off + B, :]
+                    acc = acc + (wxs[io] * wyz) * sl
+        out_ref[:, :] = jnp.where(wmask, acc, a_mid[:, :])
+
+        @pl.when(sidx == 0)
+        def _():
+            ncl_ref[0, 0] = ncount
+
+        @pl.when(sidx != 0)
+        def _():
+            ncl_ref[0, 0] = ncl_ref[0, 0] + ncount
+
+    def row_block(off):
+        return pl.BlockSpec((B, W),
+                            (lambda s, _o=off: (jnp.clip(s + _o, 0, S - 1),
+                                                0)),
+                            memory_space=pltpu.VMEM)
+
+    lane_row = pl.BlockSpec((1, W), (lambda s: (0, 0)),
+                            memory_space=pltpu.VMEM)
+
+    nterm = len(offs) ** 3
+    cost = pl.CostEstimate(
+        flops=(3 * nterm + 80) * lay.NXP * W,
+        bytes_accessed=int(14 * lay.NXP * W * itemsize),
+        transcendentals=0)
+    # + the in-kernel face-average slabs and their roll temporaries; the
+    # 255-grid build measured 10K over the 4MB-slack budget, so give 12MB
+    live_rows = 4 * (B + P + k) + 3 * (B + 2) + 60 * B
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(live_rows * W * itemsize + 12 * 2 ** 20,
+                                 120 * 2 ** 20)))
+
+    flat_shape = jax.ShapeDtypeStruct((lay.NXP, W), jdtype)
+    ncl_shape = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    ncl_block = pl.BlockSpec((1, 1), (lambda s: (0, 0)),
+                             memory_space=pltpu.SMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        out_shape=(flat_shape, ncl_shape),
+        in_specs=[row_block(-1), row_block(0), row_block(1)] * 4
+                 + [lane_row, lane_row, lane_row],
+        out_specs=(row_block(0), ncl_block),
+        compiler_params=compiler_params,
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+
+    def run(a_f, vx_f, vy_f, vz_f):
+        return call(a_f, a_f, a_f, vx_f, vx_f, vx_f, vy_f, vy_f, vy_f,
+                    vz_f, vz_f, vz_f, *rows_c)
+
+    return run
+
+
+def build_advect_flat(nx: int, ny: int, nz: int, dt: float, dx: float,
+                      dy: float, dz: float, k: int = 2, dtype=jnp.float32,
+                      B: int = 8, interpret: bool = False):
+    """The four-branch advection step (gpu.jl:308-332, compat=False) in
+    the shared flat layout, face averages in-kernel. Returns
+    advect_flat(vx_f, vy_f, vz_f, c_f) -> (vx_f', vy_f', vz_f', c_f',
+    n_clamped) on CommonLayout-flat operands (`.layout` attached), plus a
+    3D-array wrapper `.on3d` used by the equivalence tests."""
+    from .fused_step import CommonLayout
+    lay = CommonLayout(nx, ny, nz, B=B, dtype=dtype)
+    NZ = lay.NZ
+    half = np.array(0.5, np.dtype(dtype))
+    quart = np.array(0.25, np.dtype(dtype))
+
+    # rows: r -> e[1:B+1], r-1 -> e[0:B], r+1 -> e[2:B+2]; lanes: y+1 ->
+    # L(.,NZ), y-1 -> R(.,NZ), z+1 -> L(.,1), z-1 -> R(.,1). Sum order
+    # mirrors ops/advect.py's ((a+b)+c)+d face averages exactly.
+    def adv_vx(vxe, vye, vze, L, R):
+        vy0, vy1 = vye[0:B, :], vye[1:B + 1, :]
+        vz0, vz1 = vze[0:B, :], vze[1:B + 1, :]
+        vyc = quart * (((vy0 + L(vy0, NZ)) + vy1) + L(vy1, NZ))
+        vzc = quart * (((vz0 + L(vz0, 1)) + vz1) + L(vz1, 1))
+        return vxe[1:B + 1, :], vyc, vzc
+
+    def adv_vy(vxe, vye, vze, L, R):
+        vx1, vx2 = vxe[1:B + 1, :], vxe[2:B + 2, :]
+        vz1 = vze[1:B + 1, :]
+        vxc = quart * (((R(vx1, NZ) + R(vx2, NZ)) + vx1) + vx2)
+        vzc = quart * (((R(vz1, NZ) + R(L(vz1, 1), NZ)) + vz1) + L(vz1, 1))
+        return vxc, vye[1:B + 1, :], vzc
+
+    def adv_vz(vxe, vye, vze, L, R):
+        vx1, vx2 = vxe[1:B + 1, :], vxe[2:B + 2, :]
+        vy1 = vye[1:B + 1, :]
+        vxc = quart * (((R(vx1, 1) + R(vx2, 1)) + vx1) + vx2)
+        vyc = quart * (((R(vy1, 1) + R(L(vy1, NZ), 1)) + vy1) + L(vy1, NZ))
+        return vxc, vyc, vze[1:B + 1, :]
+
+    def adv_c(vxe, vye, vze, L, R):
+        vx1 = vxe[1:B + 1, :]
+        vy1 = vye[1:B + 1, :]
+        vz1 = vze[1:B + 1, :]
+        return (half * (vx1 + vxe[2:B + 2, :]),
+                half * (vy1 + L(vy1, NZ)),
+                half * (vz1 + L(vz1, 1)))
+
+    mk = functools.partial(build_advect_branch_flat, lay, dt=dt, dx=dx,
+                           dy=dy, dz=dz, k=k, interpret=interpret)
+    r1 = mk(n1=nx + 1, n2=ny, n3=nz, make_adv=adv_vx,
+            write_rows=(1, nx - 1))
+    r2 = mk(n1=nx, n2=ny + 1, n3=nz, make_adv=adv_vy, lane_y=(1, ny - 1))
+    r3 = mk(n1=nx, n2=ny, n3=nz + 1, make_adv=adv_vz, lane_z=(1, nz - 1))
+    r4 = mk(n1=nx, n2=ny, n3=nz, make_adv=adv_c)
+
+    def advect_flat(vx_f, vy_f, vz_f, c_f):
+        o1, n1c = r1(vx_f, vx_f, vy_f, vz_f)
+        o2, n2c = r2(vy_f, vx_f, vy_f, vz_f)
+        o3, n3c = r3(vz_f, vx_f, vy_f, vz_f)
+        o4, n4c = r4(c_f, vx_f, vy_f, vz_f)
+        n_clamped = (n1c[0, 0] + n2c[0, 0] + n3c[0, 0] + n4c[0, 0])
+        return o1, o2, o3, o4, n_clamped
+
+    def on3d(vx, vy, vz, c):
+        f = lay.flat
+        o1, o2, o3, o4, ncl = advect_flat(f(vx), f(vy), f(vz), f(c))
+        return (lay.unflat(o1, nx + 1, ny, nz),
+                lay.unflat(o2, nx, ny + 1, nz),
+                lay.unflat(o3, nx, ny, nz + 1),
+                lay.unflat(o4, nx, ny, nz), ncl)
+
+    advect_flat.layout = lay
+    advect_flat.on3d = on3d
+    return advect_flat

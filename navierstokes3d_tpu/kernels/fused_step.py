@@ -281,6 +281,9 @@ def build_predict(nx: int, ny: int, nz: int, *, dt: float, dx: float,
 
     predict_fn.run_flat = run_flat
     predict_fn.layout = lay
+    # the tracer seed ring's mask in the flat layout (bit 0), for callers
+    # chaining C through the flat step: c = where(cmask_flat, 1, c)
+    predict_fn.cmask_flat = (mbits & 1) != 0
     return predict_fn
 
 

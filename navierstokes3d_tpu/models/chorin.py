@@ -286,6 +286,7 @@ class ChorinSolver:
         correct/BC path. NS3D_FUSED_STEP=0 / NS3D_PALLAS=0 opt out."""
         self._fused_pre = None
         self._fused_post = None
+        self._advect_flat = None
         cfg, grid = self.cfg, self.grid
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         want = (on_tpu and self.dtype == jnp.float32 and not cfg.compat
@@ -305,6 +306,18 @@ class ChorinSolver:
                 grid.nx, grid.ny, grid.nz, dt=grid.dt, dx=grid.dx,
                 dy=grid.dy, dz=grid.dz, rho=phys.rho, masks=self.masks,
                 dtype=self.dtype)
+        # common-layout advect kernel: chains the flat layout through the
+        # WHOLE non-Poisson step (no 3D<->flat round trips, no XLA
+        # face-average fusions); requires the fused post (gpu variant)
+        # and the select-shift method
+        if (self._fused_post is not None
+                and self.advect_method == "selectshift"
+                and "NS3D_ADVECT" not in os.environ
+                and os.environ.get("NS3D_ADVECT_PALLAS") != "0"):
+            from ..kernels.advect import build_advect_flat
+            self._advect_flat = build_advect_flat(
+                grid.nx, grid.ny, grid.nz, grid.dt, grid.dx, grid.dy,
+                grid.dz, k=self.advect_k, dtype=self.dtype)
 
     def _unroll2(self, budget: int) -> bool:
         """Whether a convergence loop with this iteration budget can run
@@ -1195,6 +1208,10 @@ class ChorinSolver:
         # float32 instead of round-tripping through two large terms.
         g_eff = 0.0 if self.pressure_split else g
         fused = self._fused_pre is not None and allow_pallas_advect
+        if (fused and self._fused_post is not None
+                and self._advect_flat is not None
+                and self.advect_method == "selectshift"):
+            return self._step_chained(state, poisson_fn)
         if fused:
             # fused stress+predictor+cylinder+divergence (one HBM pass
             # over the velocities instead of ~15 XLA fusions)
@@ -1236,6 +1253,40 @@ class ChorinSolver:
                                               with_stats=True,
                                               k=self.advect_k)
         new_state = FlowState(pr=pr, vx=vx, vy=vy, vz=vz, c=c,
+                              dprdtau=dprdtau, pr_lo=pr_lo)
+        return new_state, stats.replace(advect_clamped=n_clamped)
+
+    def _step_chained(self, state: FlowState, poisson_fn
+                      ) -> Tuple[FlowState, StepStats]:
+        """The fully fused TPU step: the whole non-Poisson chain runs in
+        the shared flat layout (kernels/fused_step.py CommonLayout) —
+        ONE flatten per input field at entry and one unflatten per output
+        field at exit; predict -> correct -> advect hand flat operands
+        directly to each other, with the face-averaged advecting
+        velocities computed inside the advect kernel. Bit-compatible with
+        _step_impl's unchained branches (same kernels, conversions are
+        exact zero-pads/crops)."""
+        grid = self.grid
+        nx, ny, nz = grid.nx, grid.ny, grid.nz
+        lay = self._advect_flat.layout
+        vxf = lay.flat(state.vx)
+        vyf = lay.flat(state.vy)
+        vzf = lay.flat(state.vz)
+        vxf, vyf, vzf, dvf = self._fused_pre.run_flat(vxf, vyf, vzf)
+        divv = lay.unflat(dvf, nx, ny, nz)
+        cf = jnp.where(self._fused_pre.cmask_flat,
+                       jnp.ones((), state.c.dtype), lay.flat(state.c))
+        pr, dprdtau, stats = poisson_fn(state.pr, state.dprdtau, divv)
+        pr_lo = stats.pr_lo
+        stats = stats.replace(pr_lo=None)
+        vxf, vyf, vzf = self._fused_post.run_flat(vxf, vyf, vzf,
+                                                  lay.flat(pr))
+        vxf, vyf, vzf, cf, n_clamped = self._advect_flat(vxf, vyf, vzf, cf)
+        new_state = FlowState(pr=pr,
+                              vx=lay.unflat(vxf, nx + 1, ny, nz),
+                              vy=lay.unflat(vyf, nx, ny + 1, nz),
+                              vz=lay.unflat(vzf, nx, ny, nz + 1),
+                              c=lay.unflat(cf, nx, ny, nz),
                               dprdtau=dprdtau, pr_lo=pr_lo)
         return new_state, stats.replace(advect_clamped=n_clamped)
 
