@@ -581,6 +581,94 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                                        rhs_flat, *rows_c,
                                        _as_flag(do_chk))
 
+            if folded and not dist:
+                # ---- temporal 2-sweep kernel: TWO bit-identical damped
+                # Jacobi iterations per HBM round trip. Sweep 1 runs on an
+                # (R+2)-row window (the pr halo rows were already fetched
+                # — the flanking blocks just contribute 2 rows instead of
+                # 1); sweep 2 consumes sweep 1's VMEM-resident q/dpr and
+                # writes the final R rows. dpr and rhs move from exact
+                # big-blocks to (M+2) row-blocks for their +-1-row halo,
+                # so per-iteration HBM traffic drops from
+                # (M+2)/M + 4 ~ 5.5 passes to ((M+2)/M*3 + 2)/2 ~ 3.25 at
+                # M=4. The emitted residual is sweep 2's entering
+                # residual — exactly what the second call of the unrolled
+                # 1-sweep pair emits, so convergence checks and exits see
+                # the same quantities and iteration counts match exactly;
+                # fields agree to per-program FMA-contraction rounding
+                # (the M-row re-tiling's standard, tests/test_pallas.py).
+                def rows_of2(sidx):
+                    lrow = (sidx * R - 1
+                            + jax.lax.broadcasted_iota(jnp.int32,
+                                                       (R + 2, 1), 0))
+                    live = jnp.logical_and(lrow >= 1, lrow <= nx - 2)
+                    return lrow, live
+
+                def ext_of(blocks, take):
+                    lo = blocks[0][B - take:, :]
+                    hi = blocks[M + 1][:take, :]
+                    mid = [b[:, :] for b in blocks[1:M + 1]]
+                    return jnp.concatenate([lo, *mid, hi], axis=0)
+
+                def kernel2(*refs):
+                    prs = refs[:M + 2]
+                    dprs = refs[M + 2:2 * (M + 2)]
+                    rhss = refs[2 * (M + 2):3 * (M + 2)]
+                    (row0, row1, row2, row3, row4, chk,
+                     pr_out, dpr_out, err_out) = refs[3 * (M + 2):]
+                    sidx = pl.program_id(0)
+                    gx_e, live_e = rows_of2(sidx)
+                    p_ext1 = ext_of(prs, 2)       # rows [sR-2, sR+R+2)
+                    dpr_e = ext_of(dprs, 1)       # rows [sR-1, sR+R+1)
+                    rhs_e = ext_of(rhss, 1)
+                    q1, d1, _ = slab_fn(p_ext1, dpr_e, rhs_e, gx_e,
+                                        live_e, row0, row1, row2, row3,
+                                        row4)
+                    gx2 = gx_e[1:-1, :]
+                    live2 = live_e[1:-1, :]
+                    q2, d2, resid2 = slab_fn(q1, d1[1:-1, :],
+                                             rhs_e[1:-1, :], gx2, live2,
+                                             row0, row1, row2, row3, row4)
+                    pr_out[:, :] = q2
+                    dpr_out[:, :] = d2
+
+                    @pl.when(chk[0, 0] != 0)
+                    def _():
+                        emit_err(err_out, sidx,
+                                 resid_max(resid2, live2, row0))
+
+                cost2 = pl.CostEstimate(
+                    flops=2 * 20 * nx * W,
+                    bytes_accessed=int((3 * (M + 2) / M + 2)
+                                       * nx * W * itemsize),
+                    transcendentals=0)
+                live_rows2 = 2 * (3 * (M + 2) * B + 2 * R) + 8 * (R + 2)
+                params2 = pltpu.CompilerParams(
+                    vmem_limit_bytes=int(min(
+                        live_rows2 * W * itemsize + 2 ** 22,
+                        110 * 2 ** 20)))
+                in_specs2 = ([row_block(off) for off in range(-1, M + 1)]
+                             * 3
+                             + [lane_row] * 5 + [smem_scalar])
+                pallas_iter2 = pl.pallas_call(
+                    kernel2,
+                    grid=(G,),
+                    out_shape=(slab_shape, slab_shape, err_shape),
+                    in_specs=in_specs2,
+                    out_specs=(big_block(), big_block(), err_block),
+                    compiler_params=params2,
+                    cost_estimate=cost2,
+                    interpret=interpret,
+                )
+
+                def iter2_fn(pr_flat, dpr_flat, rhs_flat, do_chk=None):
+                    return pallas_iter2(*([pr_flat] * (M + 2)),
+                                        *([dpr_flat] * (M + 2)),
+                                        *([rhs_flat] * (M + 2)),
+                                        *rows_c, _as_flag(do_chk))
+
+                iter_fn.sweep2 = iter2_fn
+
             def pack(pr, dprdtau, rhs3d):
                 return zpack(pr), zpack(dprdtau), zpack(rhs3d)
 

@@ -329,6 +329,37 @@ class ChorinSolver:
                 and budget >= 2
                 and os.environ.get("NS3D_UNROLL2", "1") != "0")
 
+    def _unroll_mode(self, budget: int, have_sweep2: bool) -> int:
+        """Iterations per loop body: 4 = two temporal 2-sweep kernel
+        calls (kernels/poisson.py kernel2 — ~3.25 HBM passes/iteration;
+        the call pair ping-pongs the pr/dpr carry buffers so XLA's fixed
+        buffer assignment needs no per-iteration copy), 2 = the unrolled
+        1-sweep pair, 1 = single call. All modes perform the same kernel
+        math with the same check semantics — check values are always the
+        residual entering iteration k*nchk (ptloop.pt_loop_fused), and
+        the gates require nchk and the checked budget to be body-advance
+        multiples — so iteration counts match exactly; fields match to
+        per-program FMA-contraction rounding (tests/test_pallas.py
+        sweep2 tests). NS3D_SWEEP2=0 disables mode 4; NS3D_UNROLL2=0
+        forces mode 1."""
+        if os.environ.get("NS3D_UNROLL2", "1") == "0":
+            return 1
+        if (have_sweep2 and self.grid.nchk % 4 == 0
+                and self.grid.nchk >= 8 and budget % 4 == 0
+                and budget >= 4
+                and os.environ.get("NS3D_SWEEP2", "0") == "1"):
+            # OPT-IN (measured SLOWER on v5e at 255: 96.5 vs 83.7 us/iter
+            # blended): the folded kernel is VPU-bound, so halving HBM
+            # traffic buys nothing and the second sweep's (R+2)-row
+            # recompute + 18-stream pipeline add ~15%. Kept (tested,
+            # iteration-count-exact) as the traffic-shaped variant for
+            # HBM-bound parts (v4/v5p have lower flop:byte headroom) and
+            # as the scaffold for deeper temporal blocking.
+            return 4
+        if self._unroll2(budget):
+            return 2
+        return 1
+
     def step_sharded_jit(self, mesh):
         """Jitted step over a 3D device mesh (global-view SPMD path).
 
@@ -815,8 +846,41 @@ class ChorinSolver:
             # flat iteration-level loop on the kernel-emitted residual
             # (ptloop.pt_loop_fused); the exact first iteration above is
             # global iteration 1.
-            budget1 = nchunks * grid.nchk + (0 if hybrid else rem)
-            if self._unroll2(budget1):
+            rem1 = 0 if hybrid else rem
+            budget1 = nchunks * grid.nchk + rem1
+            sweep2 = getattr(iter_fn, "sweep2", None)
+            mode1 = self._unroll_mode(nchunks * grid.nchk, sweep2
+                                      is not None)
+            if mode1 == 4:
+                # two temporal 2-sweep calls per body (4 iterations).
+                # Pre-run to global iteration 4 (exact iter 1 above, one
+                # 1-sweep, one 2-sweep) so bodies start at 4-parity;
+                # check flags land on call 2's second sweep — the same
+                # entering-iteration-k*nchk values as the 1x loop. The
+                # trailing partial chunk (non-hybrid) becomes a post-loop
+                # tail (pt_loop_fused rem/tail_fn), identical iterations.
+                pr_pad, dpr_f, _ = iter_fn(pr_pad, dpr_f, rhs_f, False)
+                pr_pad, dpr_f, _ = sweep2(pr_pad, dpr_f, rhs_f, False)
+
+                def step1(carry, it):
+                    pp, df = carry
+                    pp, df, _ = sweep2(pp, df, rhs_f, False)
+                    pp, df, ec = sweep2(pp, df, rhs_f,
+                                        (it + 4) % grid.nchk == 0)
+                    return ((pp, df), jnp.max(ec) * err_scale,
+                            jnp.int32(4))
+
+                def tail1(carry):
+                    return lax.fori_loop(
+                        0, rem1, lambda _, c: iter_fn(*c, rhs_f, False)[:2],
+                        carry)
+
+                (pr_pad, dpr_f), it1, err1, hist1 = pt_loop_fused(
+                    step1, (pr_pad, dpr_f), 4, nchunks * grid.nchk,
+                    grid.nchk, nchunks, eps1, self.dtype,
+                    stall=stall1 if hybrid else self._stall,
+                    rem=rem1, tail_fn=tail1 if rem1 else None)
+            elif self._unroll2(budget1):
                 # 2x-unrolled body: the while-loop carry's pr buffer
                 # ping-pongs through the two calls and returns to its
                 # slot, so XLA's fixed per-slot buffer assignment needs
@@ -851,10 +915,11 @@ class ChorinSolver:
 
                 it0 = 1
 
-            (pr_pad, dpr_f), it1, err1, hist1 = pt_loop_fused(
-                step1, (pr_pad, dpr_f), it0, budget1,
-                grid.nchk, nchunks, eps1, self.dtype,
-                stall=stall1 if hybrid else self._stall)
+            if mode1 != 4:
+                (pr_pad, dpr_f), it1, err1, hist1 = pt_loop_fused(
+                    step1, (pr_pad, dpr_f), it0, budget1,
+                    grid.nchk, nchunks, eps1, self.dtype,
+                    stall=stall1 if hybrid else self._stall)
         else:
             def run_iters(pr_pad, dpr_f, n, k):
                 return lax.fori_loop(
@@ -902,7 +967,33 @@ class ChorinSolver:
             errh = emax * err_scale
             rhs_c = -r0
 
-            if self._unroll2(n2):
+            moded = self._unroll_mode(nchunks * grid.nchk,
+                                      getattr(iter_fn, "sweep2", None)
+                                      is not None)
+            n2_loop, rem2 = n2, 0
+            tail2 = None
+            if moded == 4:
+                # two temporal 2-sweep calls per body; it0=0 is already
+                # 4-parity, and the loop may exit before its first body
+                # via err0=errh. The trailing partial chunk becomes the
+                # post-loop tail (identical 1-sweep iterations).
+                sweep2 = iter_fn.sweep2
+
+                def stepd(carry, it):
+                    dl, dd, _ = sweep2(*carry, rhs_c, False)
+                    dl, dd, ec = sweep2(dl, dd, rhs_c,
+                                        (it + 4) % grid.nchk == 0)
+                    return ((dl, dd),
+                            jnp.max(ec) * err_scale, jnp.int32(4))
+
+                n2_loop, rem2 = nchunks * grid.nchk, rem
+                if rem2:
+                    def tail2(carry):
+                        return lax.fori_loop(
+                            0, rem2,
+                            lambda _, c: iter_fn(*c, rhs_c, False)[:2],
+                            carry)
+            elif self._unroll2(n2):
                 # same 2x body as phase 1 (buffer ping-pong, no carry
                 # copy); it0=0 is already even, and the loop may exit
                 # before its first body via err0=errh, so no iteration
@@ -942,8 +1033,8 @@ class ChorinSolver:
             # attempted.
             (dl, d_f), it2, err, hist2 = pt_loop_fused(
                 stepd, (jnp.zeros_like(pr_pad), dpr_f),
-                0, n2, grid.nchk, nchunks, eps_it, self.dtype,
-                stall=self._stall, err0=errh)
+                0, n2_loop, grid.nchk, nchunks, eps_it, self.dtype,
+                stall=self._stall, err0=errh, rem=rem2, tail_fn=tail2)
             hist = jnp.where(jnp.isnan(hist1),
                              jnp.roll(hist2, it1 // grid.nchk), hist1)
             if want_pair:

@@ -27,7 +27,7 @@ from jax import lax
 def pt_loop_fused(step_fn: Callable, carry, it0: int, niter: int,
                   nchk: int, nchunks: int, eps_it: float, dtype,
                   stall: Optional[Tuple[float, int]] = None,
-                  err0=None):
+                  err0=None, rem: int = 0, tail_fn: Callable = None):
     """Flat single-level while_loop over ITERATIONS, for backends whose
     iteration emits its own residual max.
 
@@ -101,6 +101,18 @@ def pt_loop_fused(step_fn: Callable, carry, it0: int, niter: int,
     e0 = big if err0 is None else jnp.asarray(err0, dtype)
     carry, it, err, hist, errbuf = lax.while_loop(
         cond, body, (carry, jnp.int32(it0), e0, hist0, errbuf0))
+    if rem > 0 and tail_fn is not None:
+        # the reference's trailing partial chunk, hoisted OUT of the flat
+        # loop (so `niter` can stay a multiple of the body advance):
+        # runs only on budget exhaustion without convergence or stall —
+        # the same do_tail predicate as pt_loop. The lax.cond here wraps
+        # a post-loop region, not the hot loop body, so it does not
+        # re-trigger the per-iteration copy penalty the flat loop avoids.
+        do_tail = (it >= niter) & (err >= eps_it) & jnp.isfinite(err)
+        if stall_on:
+            do_tail = do_tail & jnp.logical_not(stalled_of(err, errbuf))
+        carry = lax.cond(do_tail, tail_fn, lambda c: c, carry)
+        it = it + jnp.where(do_tail, jnp.int32(rem), 0)
     return carry, it, err, hist
 
 
