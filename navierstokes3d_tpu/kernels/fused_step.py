@@ -289,11 +289,18 @@ def build_predict(nx: int, ny: int, nz: int, *, dt: float, dx: float,
 
 def build_correct(nx: int, ny: int, nz: int, *, dt: float, dx: float,
                   dy: float, dz: float, rho: float, masks, B: int = 8,
-                  dtype=jnp.float32, interpret: bool = False):
-    """Fused correct_V! + set_cylinder!(V) + gpu-variant velocity BCs
-    (NavierStokes3D_gpu.jl:138-142 with the bc stack of :264-279).
-    Returns correct_fn(vx, vy, vz, pr) -> (vx', vy', vz') bit-identical
-    to correct_v + apply_cylinder + bc.make_bc_fns(gpu)'s set_bc_vel."""
+                  dtype=jnp.float32, interpret: bool = False,
+                  variant: str = "gpu", vin: float = 0.0):
+    """Fused correct_V! + set_cylinder!(V) + the variant's velocity BCs.
+    gpu: zero-grad x/y + no-slip-bottom/free-slip-top z
+    (NavierStokes3D_gpu.jl:138-142 with the bc stack of :264-279);
+    multi (non-compat): zero-grad on all axes + the Dirichlet inlet
+    plane Vx = vin (multi_gpu.jl:156-166 with the compat omissions
+    restored — compat mode never takes the fused path). Returns
+    correct_fn(vx, vy, vz, pr) -> (vx', vy', vz') matching correct_v +
+    apply_cylinder + bc.make_bc_fns' set_bc_vel."""
+    if variant not in ("gpu", "multi"):
+        raise ValueError(f"unknown variant {variant!r}")
     lay = CommonLayout(nx, ny, nz, B=B, dtype=dtype)
     W, NZ, S = lay.W, lay.NZ, lay.S
     if B < 2:
@@ -301,6 +308,7 @@ def build_correct(nx: int, ny: int, nz: int, *, dt: float, dx: float,
     jdt = lay.dtype
     dxc, dyc, dzc = _f(dx, jdt), _f(dy, jdt), _f(dz, jdt)
     mdtrho = _f(-dt / rho, jdt)
+    vin_c = _f(vin, jdt)
     mbits = lay.packed_masks(masks)
 
     def L(a, d):
@@ -352,9 +360,11 @@ def build_correct(nx: int, ny: int, nz: int, *, dt: float, dx: float,
             maskz, (mdtrho * (pr_r - R(pr_r, 1))) / dzc, zero)
         vzs = jnp.where((mske & 8) != 0, zero, vzs)
 
-        # ---- gpu-variant BC stack as a separable clamped read (module
-        # docstring): zero_grad_x -> zero_grad_y -> noslip/slip z, per
-        # field in the reference's order (gpu.jl:264-279).
+        # ---- the variant's BC stack as a separable clamped read (module
+        # docstring): zero-grad planes are interior-neighbor copies, the
+        # z floor is no-slip (gpu) or another zero-grad copy (multi),
+        # and multi's inlet Dirichlet overrides last, in the reference's
+        # order (gpu.jl:264-279 / multi_gpu.jl:156-166).
         gx = gxe[1:B + 1, :]
 
         def bc(q_slab, n1, n2, n3):
@@ -364,9 +374,14 @@ def build_correct(nx: int, ny: int, nz: int, *, dt: float, dx: float,
             q = jnp.where(iy == 0, L(q, NZ), q)
             q = jnp.where(iy == n2 - 1, R(q, NZ), q)
             q = jnp.where(iz == n3 - 1, R(q, 1), q)
-            return jnp.where(iz == 0, zero, q)
+            if variant == "gpu":
+                return jnp.where(iz == 0, zero, q)   # no-slip bottom
+            return jnp.where(iz == 0, L(q, 1), q)    # zero-grad bottom
 
-        vxo[:, :] = bc(vxs, nx + 1, ny, nz)
+        vx_b = bc(vxs, nx + 1, ny, nz)
+        if variant == "multi":
+            vx_b = jnp.where(gx == 0, vin_c, vx_b)   # inlet plane
+        vxo[:, :] = vx_b
         vyo[:, :] = bc(vys, nx, ny + 1, nz)
         vzo[:, :] = bc(vzs, nx, ny, nz + 1)
 

@@ -280,10 +280,10 @@ class ChorinSolver:
     def _init_fused_step(self):
         """Build the fused non-Poisson chain kernels (kernels/fused_step
         .py) when the hot path can use them: TPU float32, non-compat.
-        The predict kernel (stress+predictor+cylinder+divergence) serves
-        both variants; the correct kernel folds the gpu variant's BC
-        stack (gpu.jl:264-279), so the multi variant keeps the jnp
-        correct/BC path. NS3D_FUSED_STEP=0 / NS3D_PALLAS=0 opt out."""
+        The predict kernel (stress+predictor+cylinder+divergence) and
+        the correct kernel (correction+cylinder+the variant's folded BC
+        stack) serve both variants. NS3D_FUSED_STEP=0 / NS3D_PALLAS=0
+        opt out."""
         self._fused_pre = None
         self._fused_post = None
         self._advect_flat = None
@@ -301,15 +301,14 @@ class ChorinSolver:
             grid.nx, grid.ny, grid.nz, dt=grid.dt, dx=grid.dx, dy=grid.dy,
             dz=grid.dz, mu=phys.mu, rho=phys.rho, g_eff=g_eff,
             masks=self.masks, dtype=self.dtype)
-        if cfg.variant == "gpu":
-            self._fused_post = build_correct(
-                grid.nx, grid.ny, grid.nz, dt=grid.dt, dx=grid.dx,
-                dy=grid.dy, dz=grid.dz, rho=phys.rho, masks=self.masks,
-                dtype=self.dtype)
+        self._fused_post = build_correct(
+            grid.nx, grid.ny, grid.nz, dt=grid.dt, dx=grid.dx,
+            dy=grid.dy, dz=grid.dz, rho=phys.rho, masks=self.masks,
+            dtype=self.dtype, variant=cfg.variant, vin=phys.vin)
         # common-layout advect kernel: chains the flat layout through the
         # WHOLE non-Poisson step (no 3D<->flat round trips, no XLA
-        # face-average fusions); requires the fused post (gpu variant)
-        # and the select-shift method
+        # face-average fusions); requires the fused post and the
+        # select-shift method
         if (self._fused_post is not None
                 and self.advect_method == "selectshift"
                 and "NS3D_ADVECT" not in os.environ

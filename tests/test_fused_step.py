@@ -82,14 +82,16 @@ def test_predict_bitwise(nx):
                                    rtol=1e-5, atol=8 * 1.2e-7 * scale)
 
 
+@pytest.mark.parametrize("variant", ["gpu", "multi"])
 @pytest.mark.parametrize("nx", [17, 24])
-def test_correct_bitwise(nx):
-    s = _setup(nx)
+def test_correct_bitwise(nx, variant):
+    s = _setup(nx, variant=variant)
     g, phys = s.grid, s.cfg.physics
     ny, nz = g.ny, g.nz
     vx, vy, vz, pr = _fields(nx, ny, nz, seed=3)
     fn = build_correct(nx, ny, nz, dt=g.dt, dx=g.dx, dy=g.dy, dz=g.dz,
-                       rho=phys.rho, masks=s.masks, interpret=True)
+                       rho=phys.rho, masks=s.masks, interpret=True,
+                       variant=variant, vin=phys.vin)
 
     def ref(vx, vy, vz, pr):
         vx, vy, vz = ph.correct_v(vx, vy, vz, pr, g.dt, phys.rho,
