@@ -436,14 +436,12 @@ def build_advect_branch_flat(lay, n1: int, n2: int, n3: int, dt: float,
         def _():
             ncl_ref[0, 0] = ncl_ref[0, 0] + ncount
 
-    def row_block(off):
-        return pl.BlockSpec((B, W),
-                            (lambda s, _o=off: (jnp.clip(s + _o, 0, S - 1),
-                                                0)),
-                            memory_space=pltpu.VMEM)
+    from .fused_step import _lane_row, _row_block
 
-    lane_row = pl.BlockSpec((1, W), (lambda s: (0, 0)),
-                            memory_space=pltpu.VMEM)
+    def row_block(off):
+        return _row_block(B, W, S, off)
+
+    lane_row = _lane_row(W)
 
     nterm = len(offs) ** 3
     cost = pl.CostEstimate(
@@ -483,14 +481,14 @@ def build_advect_branch_flat(lay, n1: int, n2: int, n3: int, dt: float,
 
 def build_advect_flat(nx: int, ny: int, nz: int, dt: float, dx: float,
                       dy: float, dz: float, k: int = 2, dtype=jnp.float32,
-                      B: int = 8, interpret: bool = False):
+                      B: int = 8, interpret: bool = False, layout=None):
     """The four-branch advection step (gpu.jl:308-332, compat=False) in
     the shared flat layout, face averages in-kernel. Returns
     advect_flat(vx_f, vy_f, vz_f, c_f) -> (vx_f', vy_f', vz_f', c_f',
     n_clamped) on CommonLayout-flat operands (`.layout` attached), plus a
     3D-array wrapper `.on3d` used by the equivalence tests."""
     from .fused_step import CommonLayout
-    lay = CommonLayout(nx, ny, nz, B=B, dtype=dtype)
+    lay = layout or CommonLayout(nx, ny, nz, B=B, dtype=dtype)
     NZ = lay.NZ
     half = np.array(0.5, np.dtype(dtype))
     quart = np.array(0.25, np.dtype(dtype))

@@ -128,13 +128,16 @@ def _lane_row(W):
 def build_predict(nx: int, ny: int, nz: int, *, dt: float, dx: float,
                   dy: float, dz: float, mu: float, rho: float, g_eff: float,
                   masks, B: int = 8, dtype=jnp.float32,
-                  interpret: bool = False):
+                  interpret: bool = False, layout: CommonLayout = None,
+                  mask_bits=None):
     """Fused update_τ! + predict_V! + set_cylinder!(V) + update_∇V!
     (NavierStokes3D_gpu.jl:121-125). Returns predict_fn(vx, vy, vz) ->
     (vx*, vy*, vz*, divv) on the 3D staggered arrays, bit-identical to
     the ops/physics.py + ops/cylinder.py chain. The tracer C is NOT
-    handled here (its mask set is one cheap XLA select at the caller)."""
-    lay = CommonLayout(nx, ny, nz, B=B, dtype=dtype)
+    handled here (its mask set is one cheap XLA select at the caller).
+    layout/mask_bits: pass a shared CommonLayout and packed-mask
+    constant so chained builders embed ONE (NXP, W) mask in HBM."""
+    lay = layout or CommonLayout(nx, ny, nz, B=B, dtype=dtype)
     W, NZ, S = lay.W, lay.NZ, lay.S
     if B < 2:
         raise ValueError("slab B must be >= 2 (x-halo depth)")
@@ -145,7 +148,7 @@ def build_predict(nx: int, ny: int, nz: int, *, dt: float, dx: float,
     three = _f(3.0, jdt)
     dtrho = _f(dt / rho, jdt)
     rg = _f(rho * g_eff, jdt)
-    mbits = lay.packed_masks(masks)
+    mbits = mask_bits if mask_bits is not None else lay.packed_masks(masks)
 
     def L(a, d):
         """Lane view at (y,z) offset +d (sample lane j+d)."""
@@ -290,7 +293,8 @@ def build_predict(nx: int, ny: int, nz: int, *, dt: float, dx: float,
 def build_correct(nx: int, ny: int, nz: int, *, dt: float, dx: float,
                   dy: float, dz: float, rho: float, masks, B: int = 8,
                   dtype=jnp.float32, interpret: bool = False,
-                  variant: str = "gpu", vin: float = 0.0):
+                  variant: str = "gpu", vin: float = 0.0,
+                  layout: CommonLayout = None, mask_bits=None):
     """Fused correct_V! + set_cylinder!(V) + the variant's velocity BCs.
     gpu: zero-grad x/y + no-slip-bottom/free-slip-top z
     (NavierStokes3D_gpu.jl:138-142 with the bc stack of :264-279);
@@ -301,7 +305,7 @@ def build_correct(nx: int, ny: int, nz: int, *, dt: float, dx: float,
     apply_cylinder + bc.make_bc_fns' set_bc_vel."""
     if variant not in ("gpu", "multi"):
         raise ValueError(f"unknown variant {variant!r}")
-    lay = CommonLayout(nx, ny, nz, B=B, dtype=dtype)
+    lay = layout or CommonLayout(nx, ny, nz, B=B, dtype=dtype)
     W, NZ, S = lay.W, lay.NZ, lay.S
     if B < 2:
         raise ValueError("slab B must be >= 2 (x-halo depth)")
@@ -309,7 +313,7 @@ def build_correct(nx: int, ny: int, nz: int, *, dt: float, dx: float,
     dxc, dyc, dzc = _f(dx, jdt), _f(dy, jdt), _f(dz, jdt)
     mdtrho = _f(-dt / rho, jdt)
     vin_c = _f(vin, jdt)
-    mbits = lay.packed_masks(masks)
+    mbits = mask_bits if mask_bits is not None else lay.packed_masks(masks)
 
     def L(a, d):
         return pltpu.roll(a, W - d, 1)

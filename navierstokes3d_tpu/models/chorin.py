@@ -81,7 +81,8 @@ class ChorinSolver:
         # advection backend: the bounded-window select-shift form is ~13x
         # faster than XLA gathers on TPU; compat keeps the literal gather
         # semantics (unbounded displacement clamping).
-        on_accel = jax.default_backend() not in ("cpu",)
+        on_accel = (jax.default_backend() not in ("cpu",)
+                    or os.environ.get("NS3D_FUSED_INTERPRET") == "1")
         self.advect_method = os.environ.get(
             "NS3D_ADVECT",
             "selectshift" if (on_accel and not cfg.compat) else "gather")
@@ -289,34 +290,47 @@ class ChorinSolver:
         self._advect_flat = None
         cfg, grid = self.cfg, self.grid
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        want = (on_tpu and self.dtype == jnp.float32 and not cfg.compat
+        # NS3D_FUSED_INTERPRET=1: build the chain in interpret mode on
+        # the CPU backend — exercises the _step_chained WIRING (operand
+        # order, unflat dims, mask plumbing) in CI without TPU hardware
+        interpret = (not on_tpu
+                     and os.environ.get("NS3D_FUSED_INTERPRET") == "1")
+        want = ((on_tpu or interpret) and self.dtype == jnp.float32
+                and not cfg.compat
                 and os.environ.get("NS3D_FUSED_STEP") != "0"
                 and os.environ.get("NS3D_PALLAS") != "0")
         if not want:
             return
-        from ..kernels.fused_step import build_correct, build_predict
+        from ..kernels.fused_step import (CommonLayout, build_correct,
+                                          build_predict)
         phys = cfg.physics
         g_eff = 0.0 if self.pressure_split else phys.g
+        # ONE shared layout + packed cylinder-mask constant across all
+        # three builders (each (NXP, W) mask is ~24 MB HBM at 255)
+        lay = CommonLayout(grid.nx, grid.ny, grid.nz, dtype=self.dtype)
+        mbits = lay.packed_masks(self.masks)
         self._fused_pre = build_predict(
             grid.nx, grid.ny, grid.nz, dt=grid.dt, dx=grid.dx, dy=grid.dy,
             dz=grid.dz, mu=phys.mu, rho=phys.rho, g_eff=g_eff,
-            masks=self.masks, dtype=self.dtype)
+            masks=self.masks, dtype=self.dtype, interpret=interpret,
+            layout=lay, mask_bits=mbits)
         self._fused_post = build_correct(
             grid.nx, grid.ny, grid.nz, dt=grid.dt, dx=grid.dx,
             dy=grid.dy, dz=grid.dz, rho=phys.rho, masks=self.masks,
-            dtype=self.dtype, variant=cfg.variant, vin=phys.vin)
+            dtype=self.dtype, variant=cfg.variant, vin=phys.vin,
+            interpret=interpret, layout=lay, mask_bits=mbits)
         # common-layout advect kernel: chains the flat layout through the
         # WHOLE non-Poisson step (no 3D<->flat round trips, no XLA
         # face-average fusions); requires the fused post and the
         # select-shift method
-        if (self._fused_post is not None
-                and self.advect_method == "selectshift"
+        if (self.advect_method == "selectshift"
                 and "NS3D_ADVECT" not in os.environ
                 and os.environ.get("NS3D_ADVECT_PALLAS") != "0"):
             from ..kernels.advect import build_advect_flat
             self._advect_flat = build_advect_flat(
                 grid.nx, grid.ny, grid.nz, grid.dt, grid.dx, grid.dy,
-                grid.dz, k=self.advect_k, dtype=self.dtype)
+                grid.dz, k=self.advect_k, dtype=self.dtype,
+                interpret=interpret, layout=lay)
 
     def _unroll2(self, budget: int) -> bool:
         """Whether a convergence loop with this iteration budget can run
@@ -1241,14 +1255,21 @@ class ChorinSolver:
     def step(self, state: FlowState) -> Tuple[FlowState, StepStats]:
         return self._step_impl(state, self.poisson_solve)
 
-    def predictor_divv(self, state: FlowState):
+    def predictor_divv(self, state: FlowState, *, allow_pallas: bool = True):
         """The predictor-velocity divergence a step taken FROM `state`
-        hands to its Poisson solve (the _step_impl prelude, bit-exact).
-        Jit-safe; use to snapshot the RHS before a donating step_jit call
-        deletes `state` (stored_residual_err consumes it)."""
-        if self._fused_pre is not None:
+        hands to its Poisson solve (the _step_impl prelude, bit-exact
+        with the path the corresponding step variant runs). Jit-safe;
+        use to snapshot the RHS before a donating step_jit call deletes
+        `state` (stored_residual_err consumes it).
+
+        allow_pallas=False forces the jnp prelude — REQUIRED when the
+        state is sharded over a multi-device mesh (the SPMD partitioner
+        cannot partition the fused pallas_call; step_sharded_jit /
+        step_shard_map_jit run the jnp prelude for the same reason) or
+        when matching a step that ran with Pallas disabled."""
+        if self._fused_pre is not None and allow_pallas:
             # the step's own prelude (bit-exact with _step_impl's fused
-            # branch, which is what a donating step_jit actually ran)
+            # branch, which is what a donating single-device step_jit ran)
             return self._fused_pre(state.vx, state.vy, state.vz)[3]
         grid, phys = self.grid, self.cfg.physics
         dx, dy, dz = grid.dx, grid.dy, grid.dz
@@ -1261,7 +1282,8 @@ class ChorinSolver:
         return ph.update_divv(vx, vy, vz, dx, dy, dz)
 
     def stored_residual_err(self, state_after: FlowState, *,
-                            state_before: FlowState = None, divv=None):
+                            state_before: FlowState = None, divv=None,
+                            allow_pallas: bool = True):
         """Re-evaluate the reference's convergence criterion on the
         STORED pressure of `state_after` (the state `step` returned):
         max |lap(pr (+) pr_lo) - rhs| * ly^2/psc, with rhs rebuilt
@@ -1273,7 +1295,8 @@ class ChorinSolver:
         this is the independent check that the (hi, lo) stored pair
         actually meets err < eps_it across the step boundary. Jit-safe."""
         if divv is None:
-            divv = self.predictor_divv(state_before)
+            divv = self.predictor_divv(state_before,
+                                       allow_pallas=allow_pallas)
         grid, phys = self.grid, self.cfg.physics
         zh = self._z_hoist[1:-1] if self.pressure_split else None
         rhs_hi, rhs_lo = dsops.rhs_pair(divv[1:-1, 1:-1, 1:-1],

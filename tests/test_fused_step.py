@@ -123,3 +123,40 @@ def test_predict_then_correct_matches_step_prelude():
     want = jax.jit(s.predictor_divv)(state)
     np.testing.assert_allclose(np.asarray(divv), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("variant", ["gpu", "multi"])
+def test_chained_step_wiring(variant, monkeypatch):
+    """The full chained step (_step_chained: flat-layout handoffs
+    between the predict, correct, and advect kernels, plus the tracer
+    mask and clamp/pr_lo plumbing) runs in interpret mode on CPU via
+    NS3D_FUSED_INTERPRET=1 and must reproduce the jnp step: a wiring
+    bug (swapped operands, wrong unflat dims, dropped mask) is an O(1)
+    physics change that shifts Poisson iteration counts and pr; the
+    legitimate residue is per-program ulp rounding, chaotically
+    amplified in the velocities by the advect discontinuity from the
+    CFL_adv=1 init state (docs/numerics.md) but NOT in step-1's pr,
+    which advection never touches."""
+    monkeypatch.setenv("NS3D_FUSED_INTERPRET", "1")
+    s1 = _setup(15, variant=variant)
+    assert s1._advect_flat is not None, "chain not built under interpret"
+    monkeypatch.delenv("NS3D_FUSED_INTERPRET")
+    monkeypatch.setenv("NS3D_ADVECT", "selectshift")
+    s0 = _setup(15, variant=variant)
+    assert s0._fused_pre is None
+
+    st1, st0 = s1.init_state(), s0.init_state()
+    for step in range(2):
+        st1, a = s1.step_jit(st1)
+        st0, b = s0.step_jit(st0)
+        assert int(a.iters) == int(b.iters), f"step {step} iters"
+        ea = int(a.iters_ext or 0)
+        eb = int(b.iters_ext or 0)
+        assert ea == eb, f"step {step} iters_ext"
+        for name in ("pr", "vx", "vy", "vz", "c"):
+            assert np.isfinite(np.asarray(getattr(st1, name))).all(), name
+        pa, pb = np.asarray(st1.pr), np.asarray(st0.pr)
+        scale = max(1.0, np.abs(pb).max())
+        tol = 1e-5 if step == 0 else 1e-3
+        np.testing.assert_allclose(pa / scale, pb / scale, rtol=0,
+                                   atol=tol, err_msg=f"pr step {step}")
