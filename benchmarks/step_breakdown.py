@@ -83,26 +83,54 @@ def main(argv=None):
     print(f"poisson_solve  : {t_ps*1e3:8.1f} ms   "
           f"iters={it_s} (ext={it_se})", flush=True)
 
-    # non-Poisson chain (everything but the solve)
-    def rest(state, pr, dprdtau):
-        taus = ph.update_tau(state.vx, state.vy, state.vz, phys.mu,
-                             g.dx, g.dy, g.dz)
-        vx, vy, vz = ph.predict_v(state.vx, state.vy, state.vz, *taus,
-                                  phys.rho, g_eff, g.dt, g.dx, g.dy, g.dz)
-        c, vx, vy, vz = apply_cylinder(state.c, vx, vy, vz, s.masks)
-        divv = ph.update_divv(vx, vy, vz, g.dx, g.dy, g.dz)
-        vx, vy, vz = ph.correct_v(vx, vy, vz, pr, g.dt, phys.rho,
-                                  g.dx, g.dy, g.dz)
-        c, vx, vy, vz = apply_cylinder(c, vx, vy, vz, s.masks)
-        vx, vy, vz = s.set_bc_vel(vx, vy, vz)
-        vx, vy, vz, c, ncl = advect(vx, vy, vz, c, g.dt, g.dx, g.dy, g.dz,
-                                    compat=cfg.compat,
-                                    method=s.advect_method,
-                                    with_stats=True)
-        return vx, vy, vz, c, divv
+    # non-Poisson chain (everything but the solve), via the PRODUCTION
+    # path: the fused flat-layout kernel chain when the solver built it
+    # (TPU f32 non-compat — _step_chained's exact sequence), else the
+    # jnp ops. NOTE: wall times here include the axon dev tunnel's
+    # ~30 ms/dispatch RPC overhead; device-traced component times are in
+    # docs/architecture.md "Measured performance".
+    if getattr(s, "_advect_flat", None) is not None:
+        lay = s._advect_flat.layout
+
+        def rest(state, pr, dprdtau):
+            import jax.numpy as jnp
+            vxf = lay.flat(state.vx)
+            vyf = lay.flat(state.vy)
+            vzf = lay.flat(state.vz)
+            vxf, vyf, vzf, dvf = s._fused_pre.run_flat(vxf, vyf, vzf)
+            divv = lay.unflat(dvf, g.nx, g.ny, g.nz)
+            cf = jnp.where(s._fused_pre.cmask_flat,
+                           jnp.ones((), state.c.dtype), lay.flat(state.c))
+            vxf, vyf, vzf = s._fused_post.run_flat(vxf, vyf, vzf,
+                                                   lay.flat(pr))
+            vxf, vyf, vzf, cf, ncl = s._advect_flat(vxf, vyf, vzf, cf)
+            return (lay.unflat(vxf, g.nx + 1, g.ny, g.nz),
+                    lay.unflat(vyf, g.nx, g.ny + 1, g.nz),
+                    lay.unflat(vzf, g.nx, g.ny, g.nz + 1),
+                    lay.unflat(cf, g.nx, g.ny, g.nz), divv)
+        label = "non-poisson ops (fused chain)"
+    else:
+        def rest(state, pr, dprdtau):
+            taus = ph.update_tau(state.vx, state.vy, state.vz, phys.mu,
+                                 g.dx, g.dy, g.dz)
+            vx, vy, vz = ph.predict_v(state.vx, state.vy, state.vz, *taus,
+                                      phys.rho, g_eff, g.dt, g.dx, g.dy,
+                                      g.dz)
+            c, vx, vy, vz = apply_cylinder(state.c, vx, vy, vz, s.masks)
+            divv = ph.update_divv(vx, vy, vz, g.dx, g.dy, g.dz)
+            vx, vy, vz = ph.correct_v(vx, vy, vz, pr, g.dt, phys.rho,
+                                      g.dx, g.dy, g.dz)
+            c, vx, vy, vz = apply_cylinder(c, vx, vy, vz, s.masks)
+            vx, vy, vz = s.set_bc_vel(vx, vy, vz)
+            vx, vy, vz, c, ncl = advect(vx, vy, vz, c, g.dt, g.dx, g.dy,
+                                        g.dz, compat=cfg.compat,
+                                        method=s.advect_method,
+                                        with_stats=True)
+            return vx, vy, vz, c, divv
+        label = "non-poisson ops (jnp chain)"
 
     t_rest, _ = timed(jax.jit(rest), state, out[0], out[1], reps=3)
-    print(f"non-poisson ops: {t_rest*1e3:8.1f} ms", flush=True)
+    print(f"{label}: {t_rest*1e3:8.1f} ms", flush=True)
 
     # fixed-iteration kernel loops at the same counts = pure kernel time;
     # solve time minus this = residual checks + chunking overhead
