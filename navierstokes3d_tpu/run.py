@@ -74,6 +74,12 @@ def build_argparser() -> argparse.ArgumentParser:
                          "going, 'abort' exits non-zero, 'gather' switches "
                          "the advection backend to the exact global-clamp "
                          "gather for all subsequent steps")
+    ap.add_argument("--abort-on-nan", action="store_true",
+                    help="stop the run (after writing a ckpt_nan_*.npz "
+                         "of the offending state) when a step's residual "
+                         "is non-finite; the reference only breaks the "
+                         "Poisson loop and keeps time-stepping "
+                         "(gpu.jl:135)")
     ap.add_argument("--quiet", action="store_true")
     return ap
 
@@ -234,6 +240,19 @@ def main(argv=None):
             print(f"#it = {it}  iters = {rec.poisson_iters}  "
                   f"err = {rec.err:.3e}  wall = {rec.wall_s:.3f}s",
                   file=sys.stderr)
+        if args.abort_on_nan and not np.isfinite(rec.err):
+            # The reference only BREAKS the Poisson loop on a non-finite
+            # residual and keeps time-stepping into garbage
+            # (gpu.jl:135); this stops the run with the state still on
+            # disk-able footing (checkpoint below won't run — write one
+            # now so the blow-up step is inspectable).
+            checkpoint.save_checkpoint(
+                os.path.join(args.ckpt_dir, f"ckpt_nan_{it:07d}.npz"),
+                to_flow(state), it, pressure_split=solver.pressure_split)
+            raise SystemExit(
+                f"non-finite residual at step {it} "
+                f"(err={rec.err!r}); state checkpointed to "
+                f"{args.ckpt_dir}/ckpt_nan_{it:07d}.npz")
         new_step = clamp_escalation(args.on_clamp, solver, it, n_clamped,
                                     build_step)
         if new_step is not None:

@@ -198,3 +198,32 @@ def test_cli_independent_vis_save_cadence(tmp_path):
     # viz frames 0 (init), 1 (it=3), 2 (it=6)
     pngs = sorted(p.name for p in vdir.glob("3D_NavierStokes_xy_Pr_*.png"))
     assert pngs == [f"3D_NavierStokes_xy_Pr_{i:04d}.png" for i in range(3)]
+
+
+def test_cli_abort_on_nan(tmp_path):
+    """--abort-on-nan: a NaN-poisoned resume state makes the first step's
+    residual non-finite; the run must exit non-zero AFTER writing a
+    ckpt_nan_*.npz of the offending state (the reference only breaks the
+    Poisson loop and keeps stepping, gpu.jl:135)."""
+    import jax.numpy as jnp
+
+    cfg = ns.preset_multi(nx=9, nt=1, compat=False, dtype="float32")
+    solver = ns.ChorinSolver(cfg)
+    state = solver.init_state()
+    bad = np.asarray(state.pr).copy()
+    bad[3, 2, 2] = np.nan
+    state = state.replace(pr=jnp.asarray(bad))
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
+    checkpoint.save_checkpoint(str(ckdir / "ckpt_0000003.npz"), state, 3,
+                               pressure_split=solver.pressure_split)
+    r = subprocess.run(
+        [sys.executable, "-m", "navierstokes3d_tpu.run",
+         "--preset", "multi", "--nx", "9", "--dtype", "float32",
+         "--platform", "cpu", "--ckpt-dir", str(ckdir), "--resume",
+         "--nt", "3", "--abort-on-nan", "--quiet"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode != 0
+    assert "non-finite residual" in r.stderr
+    assert (ckdir / "ckpt_nan_0000004.npz").exists()
