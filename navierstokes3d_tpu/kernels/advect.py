@@ -448,9 +448,12 @@ def build_advect_branch_flat(lay, n1: int, n2: int, n3: int, dt: float,
         flops=(3 * nterm + 80) * lay.NXP * W,
         bytes_accessed=int(14 * lay.NXP * W * itemsize),
         transcendentals=0)
-    # + the in-kernel face-average slabs and their roll temporaries; the
-    # 255-grid build measured 10K over the 4MB-slack budget, so give 12MB
-    live_rows = 4 * (B + P + k) + 3 * (B + 2) + 60 * B
+    # + the in-kernel face-average slabs and their roll temporaries, and
+    # the (2k+2) hoisted x-offset weight planes (the budget must scale
+    # with k: wide-window escalation builds use k up to B-1); the
+    # 255-grid k=2 build measured 10K over a 4MB slack, so give 12MB
+    live_rows = (4 * (B + P + k) + 3 * (B + 2)
+                 + (2 * k + 2) * B + 60 * B)
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=int(min(live_rows * W * itemsize + 12 * 2 ** 20,
                                  120 * 2 ** 20)))

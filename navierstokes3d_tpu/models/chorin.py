@@ -268,10 +268,22 @@ class ChorinSolver:
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         want = (on_tpu and self.dtype == jnp.float32 and not cfg.compat
                 and self.advect_method == "selectshift"
+                and self.advect_k <= 3
                 and "NS3D_ADVECT" not in os.environ
                 and os.environ.get("NS3D_ADVECT_PALLAS") != "0"
                 and os.environ.get("NS3D_PALLAS") != "0")
         if not want:
+            if (self.advect_k > 3 and self.advect_method == "selectshift"
+                    and self.dtype == jnp.float32 and not cfg.compat):
+                # the fully unrolled (2k+2)^3-term accumulation blows
+                # Mosaic register allocation past k=3 (measured: 853MB
+                # of spill slots at k=6/255); wide windows use the jnp
+                # backend (XLA slices scale to any k)
+                import warnings
+                warnings.warn(
+                    f"advect_k={self.advect_k} > 3: Pallas advection "
+                    "kernels disabled (register pressure); using the "
+                    "jnp select-shift backend", RuntimeWarning)
             return
         from ..kernels.advect import build_advect
         self._advect_pallas = build_advect(
@@ -324,6 +336,7 @@ class ChorinSolver:
         # face-average fusions); requires the fused post and the
         # select-shift method
         if (self.advect_method == "selectshift"
+                and self.advect_k <= 3   # register pressure past k=3
                 and "NS3D_ADVECT" not in os.environ
                 and os.environ.get("NS3D_ADVECT_PALLAS") != "0"):
             from ..kernels.advect import build_advect_flat

@@ -77,3 +77,24 @@ def test_warn_policy_is_noop():
     assert solver.advect_method == "selectshift"
     # zero clamps: silent no-op under every policy
     assert clamp_escalation("abort", solver, 1, 0, lambda: None) is None
+
+
+def test_wide_window_falls_back_to_jnp(monkeypatch):
+    """advect_k > 3 must disable the Pallas advection kernels (the
+    fully unrolled (2k+2)^3-term accumulation blows Mosaic register
+    allocation: measured 853MB of spill slots at k=6 on the 255 grid)
+    and warn; the jnp select-shift backend serves wide windows."""
+    import warnings
+    import navierstokes3d_tpu as ns
+    monkeypatch.setenv("NS3D_ADVECT_K", "6")
+    monkeypatch.setenv("NS3D_FUSED_INTERPRET", "1")  # exercise the gates
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s = ns.ChorinSolver(ns.preset_gpu(nx=15, nt=1, compat=False,
+                                          dtype="float32"))
+    assert s.advect_k == 6
+    assert s._advect_flat is None
+    assert s._advect_pallas is None
+    assert any("register pressure" in str(x.message) for x in w)
+    # the fused pre/post kernels still build; only the chain is off
+    assert s._fused_pre is not None
