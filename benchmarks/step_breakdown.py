@@ -93,7 +93,6 @@ def main(argv=None):
         lay = s._advect_flat.layout
 
         def rest(state, pr, dprdtau):
-            import jax.numpy as jnp
             vxf = lay.flat(state.vx)
             vyf = lay.flat(state.vy)
             vzf = lay.flat(state.vz)
@@ -110,24 +109,46 @@ def main(argv=None):
                     lay.unflat(cf, g.nx, g.ny, g.nz), divv)
         label = "non-poisson ops (fused chain)"
     else:
+        # mirror _step_impl's dispatch exactly: fused pre/post kernels
+        # when built (e.g. NS3D_ADVECT_K>3 disables only the advect
+        # chain), the configured advection backend + window either way
+        fused = getattr(s, "_fused_pre", None) is not None
+
         def rest(state, pr, dprdtau):
-            taus = ph.update_tau(state.vx, state.vy, state.vz, phys.mu,
-                                 g.dx, g.dy, g.dz)
-            vx, vy, vz = ph.predict_v(state.vx, state.vy, state.vz, *taus,
-                                      phys.rho, g_eff, g.dt, g.dx, g.dy,
-                                      g.dz)
-            c, vx, vy, vz = apply_cylinder(state.c, vx, vy, vz, s.masks)
-            divv = ph.update_divv(vx, vy, vz, g.dx, g.dy, g.dz)
-            vx, vy, vz = ph.correct_v(vx, vy, vz, pr, g.dt, phys.rho,
-                                      g.dx, g.dy, g.dz)
-            c, vx, vy, vz = apply_cylinder(c, vx, vy, vz, s.masks)
-            vx, vy, vz = s.set_bc_vel(vx, vy, vz)
-            vx, vy, vz, c, ncl = advect(vx, vy, vz, c, g.dt, g.dx, g.dy,
-                                        g.dz, compat=cfg.compat,
-                                        method=s.advect_method,
-                                        with_stats=True)
+            if fused:
+                vx, vy, vz, divv = s._fused_pre(state.vx, state.vy,
+                                                state.vz)
+                c = jnp.where(s.masks.mask_c[:, :, None],
+                              jnp.ones((), state.c.dtype), state.c)
+            else:
+                taus = ph.update_tau(state.vx, state.vy, state.vz,
+                                     phys.mu, g.dx, g.dy, g.dz)
+                vx, vy, vz = ph.predict_v(state.vx, state.vy, state.vz,
+                                          *taus, phys.rho, g_eff, g.dt,
+                                          g.dx, g.dy, g.dz)
+                c, vx, vy, vz = apply_cylinder(state.c, vx, vy, vz,
+                                               s.masks)
+                divv = ph.update_divv(vx, vy, vz, g.dx, g.dy, g.dz)
+            if getattr(s, "_fused_post", None) is not None:
+                vx, vy, vz = s._fused_post(vx, vy, vz, pr)
+            else:
+                vx, vy, vz = ph.correct_v(vx, vy, vz, pr, g.dt, phys.rho,
+                                          g.dx, g.dy, g.dz)
+                c, vx, vy, vz = apply_cylinder(c, vx, vy, vz, s.masks)
+                vx, vy, vz = s.set_bc_vel(vx, vy, vz)
+            if (s._advect_pallas is not None
+                    and s.advect_method == "selectshift"):
+                vx, vy, vz, c, ncl = s._advect_pallas(vx, vy, vz, c)
+            else:
+                vx, vy, vz, c, ncl = advect(vx, vy, vz, c, g.dt, g.dx,
+                                            g.dy, g.dz,
+                                            compat=cfg.compat,
+                                            method=s.advect_method,
+                                            with_stats=True,
+                                            k=s.advect_k)
             return vx, vy, vz, c, divv
-        label = "non-poisson ops (jnp chain)"
+        label = ("non-poisson ops (fused pre/post + jnp advect)"
+                 if fused else "non-poisson ops (jnp chain)")
 
     t_rest, _ = timed(jax.jit(rest), state, out[0], out[1], reps=3)
     print(f"{label}: {t_rest*1e3:8.1f} ms", flush=True)

@@ -44,6 +44,12 @@ from ..ops.cylinder import CylinderMasks, apply_cylinder, build_masks
 from ..ptloop import pt_loop, pt_loop_fused
 from ..state import FlowState, StepStats, zeros_state
 
+# Widest select-shift window the fused Pallas advection kernels support:
+# the fully unrolled (2k+2)^3-term accumulation blows Mosaic register
+# allocation past this (measured: 853MB of spill slots at k=6 on the 255
+# grid). Wider windows run the jnp backend (XLA slices scale to any k).
+MAX_PALLAS_ADVECT_K = 3
+
 
 def _two_sum(a, b):
     """Knuth two_sum: s = fl(a + b), e such that a + b = s + e exactly."""
@@ -266,29 +272,33 @@ class ChorinSolver:
         self._advect_pallas = None
         cfg, grid = self.cfg, self.grid
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        want = (on_tpu and self.dtype == jnp.float32 and not cfg.compat
-                and self.advect_method == "selectshift"
-                and self.advect_k <= 3
-                and "NS3D_ADVECT" not in os.environ
-                and os.environ.get("NS3D_ADVECT_PALLAS") != "0"
-                and os.environ.get("NS3D_PALLAS") != "0")
+        eligible = (self.dtype == jnp.float32 and not cfg.compat
+                    and self.advect_method == "selectshift"
+                    and "NS3D_ADVECT" not in os.environ
+                    and os.environ.get("NS3D_ADVECT_PALLAS") != "0"
+                    and os.environ.get("NS3D_PALLAS") != "0")
+        want = on_tpu and eligible and self._pallas_advect_k_ok()
         if not want:
-            if (self.advect_k > 3 and self.advect_method == "selectshift"
-                    and self.dtype == jnp.float32 and not cfg.compat):
-                # the fully unrolled (2k+2)^3-term accumulation blows
-                # Mosaic register allocation past k=3 (measured: 853MB
-                # of spill slots at k=6/255); wide windows use the jnp
-                # backend (XLA slices scale to any k)
-                import warnings
+            if (eligible and not self._pallas_advect_k_ok()
+                    and (on_tpu or os.environ.get(
+                        "NS3D_FUSED_INTERPRET") == "1")):
+                # this config would have used the Pallas kernels but for
+                # the window width — say so, and only then
                 warnings.warn(
-                    f"advect_k={self.advect_k} > 3: Pallas advection "
-                    "kernels disabled (register pressure); using the "
-                    "jnp select-shift backend", RuntimeWarning)
+                    f"advect_k={self.advect_k} > "
+                    f"{MAX_PALLAS_ADVECT_K}: Pallas advection kernels "
+                    "disabled (register pressure); using the jnp "
+                    "select-shift backend", RuntimeWarning)
             return
         from ..kernels.advect import build_advect
         self._advect_pallas = build_advect(
             grid.nx, grid.ny, grid.nz, grid.dt, grid.dx, grid.dy, grid.dz,
             k=self.advect_k, dtype=self.dtype, interpret=False)
+
+    def _pallas_advect_k_ok(self) -> bool:
+        """Whether the configured select-shift window fits the fused
+        Pallas advection kernels (see MAX_PALLAS_ADVECT_K)."""
+        return self.advect_k <= MAX_PALLAS_ADVECT_K
 
     def _init_fused_step(self):
         """Build the fused non-Poisson chain kernels (kernels/fused_step
@@ -336,7 +346,7 @@ class ChorinSolver:
         # face-average fusions); requires the fused post and the
         # select-shift method
         if (self.advect_method == "selectshift"
-                and self.advect_k <= 3   # register pressure past k=3
+                and self._pallas_advect_k_ok()
                 and "NS3D_ADVECT" not in os.environ
                 and os.environ.get("NS3D_ADVECT_PALLAS") != "0"):
             from ..kernels.advect import build_advect_flat

@@ -245,14 +245,17 @@ def main(argv=None):
             # residual and keeps time-stepping into garbage
             # (gpu.jl:135); this stops the run with the state still on
             # disk-able footing (checkpoint below won't run — write one
-            # now so the blow-up step is inspectable).
+            # now so the blow-up step is inspectable). The snapshot name
+            # deliberately does NOT match the ckpt_*.npz pattern:
+            # latest_checkpoint() must keep resuming from the last GOOD
+            # checkpoint, never the poisoned state.
             checkpoint.save_checkpoint(
-                os.path.join(args.ckpt_dir, f"ckpt_nan_{it:07d}.npz"),
+                os.path.join(args.ckpt_dir, f"nanstate_{it:07d}.npz"),
                 to_flow(state), it, pressure_split=solver.pressure_split)
             raise SystemExit(
                 f"non-finite residual at step {it} "
-                f"(err={rec.err!r}); state checkpointed to "
-                f"{args.ckpt_dir}/ckpt_nan_{it:07d}.npz")
+                f"(err={rec.err!r}); state snapshot written to "
+                f"{args.ckpt_dir}/nanstate_{it:07d}.npz")
         new_step = clamp_escalation(args.on_clamp, solver, it, n_clamped,
                                     build_step)
         if new_step is not None:

@@ -203,7 +203,9 @@ def test_cli_independent_vis_save_cadence(tmp_path):
 def test_cli_abort_on_nan(tmp_path):
     """--abort-on-nan: a NaN-poisoned resume state makes the first step's
     residual non-finite; the run must exit non-zero AFTER writing a
-    ckpt_nan_*.npz of the offending state (the reference only breaks the
+    snapshot of the offending state whose name does NOT match the
+    checkpoint pattern — a later --resume must load the last GOOD
+    checkpoint, never the poisoned state (the reference only breaks the
     Poisson loop and keeps stepping, gpu.jl:135)."""
     import jax.numpy as jnp
 
@@ -226,4 +228,7 @@ def test_cli_abort_on_nan(tmp_path):
         cwd=os.path.dirname(os.path.dirname(__file__)))
     assert r.returncode != 0
     assert "non-finite residual" in r.stderr
-    assert (ckdir / "ckpt_nan_0000004.npz").exists()
+    assert (ckdir / "nanstate_0000004.npz").exists()
+    # the poisoned snapshot must NOT shadow the resume chain
+    assert checkpoint.latest_checkpoint(str(ckdir)).endswith(
+        "ckpt_0000003.npz")
