@@ -75,11 +75,12 @@ def build_argparser() -> argparse.ArgumentParser:
                          "the advection backend to the exact global-clamp "
                          "gather for all subsequent steps")
     ap.add_argument("--abort-on-nan", action="store_true",
-                    help="stop the run (after writing a ckpt_nan_*.npz "
-                         "of the offending state) when a step's residual "
-                         "is non-finite; the reference only breaks the "
-                         "Poisson loop and keeps time-stepping "
-                         "(gpu.jl:135)")
+                    help="stop the run (after writing a nanstate_*.npz "
+                         "snapshot of the offending state — named so "
+                         "--resume still picks the last good checkpoint) "
+                         "when a step's residual is non-finite; the "
+                         "reference only breaks the Poisson loop and "
+                         "keeps time-stepping (gpu.jl:135)")
     ap.add_argument("--quiet", action="store_true")
     return ap
 
