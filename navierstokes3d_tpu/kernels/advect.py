@@ -555,3 +555,24 @@ def build_advect_flat(nx: int, ny: int, nz: int, dt: float, dx: float,
     advect_flat.layout = lay
     advect_flat.on3d = on3d
     return advect_flat
+
+
+def advect_kernel_vmem_bytes(nx: int, ny: int, nz: int, k: int,
+                             B: int = 8, flat: bool = True) -> int:
+    """Estimated scoped-VMEM requirement of one advection branch kernel
+    (the same live-set formulas the builders pass as compiler limits).
+    Callers gate kernel construction on this: at large lane widths (the
+    255-grid's W is 23.8k lanes; a 511 grid's is 95k) the ~60-plane
+    accumulation working set exceeds the 128MB VMEM and Mosaic refuses
+    the program — the jnp backend serves those sizes."""
+    P = k + 1
+    if flat:
+        nyzp = (ny + 1) * (nz + 1)
+        W = ((nyzp + 127) // 128) * 128
+        live_rows = (4 * (B + P + k) + 3 * (B + 2)
+                     + (2 * k + 2) * B + 60 * B)
+    else:
+        nyz = ny * nz
+        W = ((nyz + 127) // 128) * 128
+        live_rows = 4 * (B + P + k) + 60 * B
+    return int(live_rows * W * 4 + 12 * 2 ** 20)

@@ -483,9 +483,16 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             transcendentals=0)
         live_rows_ = (2 * ((2 if extended else 1) * (M + 2) * B
                            + (2 + (3 if extended else 2)) * R) + 8)
+        est_ = live_rows_ * W * itemsize + 2 ** 22
+        if W > 2 ** 16:
+            # wide grids (511-class, W ~ 94k lanes): Mosaic's scoped
+            # need outgrows this IO-block estimate (measured 97.9M vs a
+            # 76M limit) — give the full budget there; the M selection
+            # above already bounded the IO working set. W <= 64k keeps
+            # the exact limit the 255-grid perf was tuned under.
+            est_ = 110 * 2 ** 20
         compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=int(min(live_rows_ * W * itemsize + 2 ** 22,
-                                     110 * 2 ** 20)))
+            vmem_limit_bytes=int(min(est_, 110 * 2 ** 20)))
 
         # single (1,1) SMEM accumulator (a (1,1) block per grid step is
         # not a legal Mosaic tiling): the block index is constant so the

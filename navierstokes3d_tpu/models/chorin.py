@@ -277,7 +277,8 @@ class ChorinSolver:
                     and "NS3D_ADVECT" not in os.environ
                     and os.environ.get("NS3D_ADVECT_PALLAS") != "0"
                     and os.environ.get("NS3D_PALLAS") != "0")
-        want = on_tpu and eligible and self._pallas_advect_k_ok()
+        want = (on_tpu and eligible and self._pallas_advect_k_ok()
+                and self._pallas_advect_vmem_ok(flat=False))
         if not want:
             if (eligible and not self._pallas_advect_k_ok()
                     and (on_tpu or os.environ.get(
@@ -300,6 +301,17 @@ class ChorinSolver:
         Pallas advection kernels (see MAX_PALLAS_ADVECT_K)."""
         return self.advect_k <= MAX_PALLAS_ADVECT_K
 
+    def _pallas_advect_vmem_ok(self, flat: bool) -> bool:
+        """Whether one advection branch kernel's working set fits VMEM
+        at this grid's lane width (kernels/advect.py
+        advect_kernel_vmem_bytes; a 511-class grid's ~95k-lane rows blow
+        the ~60-plane accumulation past 128MB — those sizes run the jnp
+        backend)."""
+        from ..kernels.advect import advect_kernel_vmem_bytes
+        g = self.grid
+        return advect_kernel_vmem_bytes(
+            g.nx, g.ny, g.nz, self.advect_k, flat=flat) <= 100 * 2 ** 20
+
     def _init_fused_step(self):
         """Build the fused non-Poisson chain kernels (kernels/fused_step
         .py) when the hot path can use them: TPU float32, non-compat.
@@ -317,11 +329,25 @@ class ChorinSolver:
         # order, unflat dims, mask plumbing) in CI without TPU hardware
         interpret = (not on_tpu
                      and os.environ.get("NS3D_FUSED_INTERPRET") == "1")
+        # empirical VMEM envelope of the predict kernel: its working set
+        # + Mosaic register spills scale with the common-layout lane
+        # width (measured: needs ~166MB of the 128MB VMEM at W=95104
+        # lanes, the 511 grid; comfortably compiles at W=23808, the 255
+        # grid). ~1.75KB/lane against a 100MB budget keeps 2.4x headroom
+        # over the validated width; wider grids run the jnp chain.
+        W = ((((grid.ny + 1) * (grid.nz + 1)) + 127) // 128) * 128
+        vmem_ok = W * 1792 <= 100 * 2 ** 20
         want = ((on_tpu or interpret) and self.dtype == jnp.float32
-                and not cfg.compat
+                and not cfg.compat and vmem_ok
                 and os.environ.get("NS3D_FUSED_STEP") != "0"
                 and os.environ.get("NS3D_PALLAS") != "0")
         if not want:
+            if (on_tpu and not vmem_ok and self.dtype == jnp.float32
+                    and not cfg.compat):
+                warnings.warn(
+                    f"grid lane width W={W} exceeds the fused step "
+                    "kernels' VMEM envelope; running the jnp non-Poisson "
+                    "chain", RuntimeWarning)
             return
         from ..kernels.fused_step import (CommonLayout, build_correct,
                                           build_predict)
@@ -347,6 +373,7 @@ class ChorinSolver:
         # select-shift method
         if (self.advect_method == "selectshift"
                 and self._pallas_advect_k_ok()
+                and self._pallas_advect_vmem_ok(flat=True)
                 and "NS3D_ADVECT" not in os.environ
                 and os.environ.get("NS3D_ADVECT_PALLAS") != "0"):
             from ..kernels.advect import build_advect_flat
