@@ -375,6 +375,10 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
         # +1 stencil neighbor of owned row LR-1 wherever it falls in a slab
         NXP = ((LR + (1 if dist else 0) + B - 1) // B) * B
         S = NXP // B
+        # (An S%4 ghost-row round-up to unlock M=4 at wide grids was
+        # measured and reverted: at W~94k lanes M=2 ran 20% SLOWER than
+        # M=1 — the wide-row cost is not pr fetch passes, so odd S keeps
+        # its natural M=1 there.)
 
         # M output slabs per grid step (folded, non-distributed): Pr is
         # fetched as M+2 B-row blocks per step instead of 3 per slab, so
