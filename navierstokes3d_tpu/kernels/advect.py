@@ -492,6 +492,7 @@ def build_advect_flat(nx: int, ny: int, nz: int, dt: float, dx: float,
     3D-array wrapper `.on3d` used by the equivalence tests."""
     from .fused_step import CommonLayout
     lay = layout or CommonLayout(nx, ny, nz, B=B, dtype=dtype)
+    B = lay.B  # the adv_* closures must slice with the layout's own B
     NZ = lay.NZ
     half = np.array(0.5, np.dtype(dtype))
     quart = np.array(0.25, np.dtype(dtype))
@@ -558,7 +559,8 @@ def build_advect_flat(nx: int, ny: int, nz: int, dt: float, dx: float,
 
 
 def advect_kernel_vmem_bytes(nx: int, ny: int, nz: int, k: int,
-                             B: int = 8, flat: bool = True) -> int:
+                             B: int = 8, flat: bool = True,
+                             dtype=jnp.float32) -> int:
     """Estimated scoped-VMEM requirement of one advection branch kernel
     (the same live-set formulas the builders pass as compiler limits).
     Callers gate kernel construction on this: at large lane widths (the
@@ -575,4 +577,5 @@ def advect_kernel_vmem_bytes(nx: int, ny: int, nz: int, k: int,
         nyz = ny * nz
         W = ((nyz + 127) // 128) * 128
         live_rows = 4 * (B + P + k) + 60 * B
-    return int(live_rows * W * 4 + 12 * 2 ** 20)
+    itemsize = np.dtype(dtype).itemsize  # same formula the builder budgets with
+    return int(live_rows * W * itemsize + 12 * 2 ** 20)

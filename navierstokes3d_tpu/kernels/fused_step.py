@@ -138,6 +138,7 @@ def build_predict(nx: int, ny: int, nz: int, *, dt: float, dx: float,
     layout/mask_bits: pass a shared CommonLayout and packed-mask
     constant so chained builders embed ONE (NXP, W) mask in HBM."""
     lay = layout or CommonLayout(nx, ny, nz, B=B, dtype=dtype)
+    B = lay.B  # BlockSpecs below must slab with the layout's own B
     W, NZ, S = lay.W, lay.NZ, lay.S
     if B < 2:
         raise ValueError("slab B must be >= 2 (x-halo depth)")
@@ -306,6 +307,7 @@ def build_correct(nx: int, ny: int, nz: int, *, dt: float, dx: float,
     if variant not in ("gpu", "multi"):
         raise ValueError(f"unknown variant {variant!r}")
     lay = layout or CommonLayout(nx, ny, nz, B=B, dtype=dtype)
+    B = lay.B  # BlockSpecs below must slab with the layout's own B
     W, NZ, S = lay.W, lay.NZ, lay.S
     if B < 2:
         raise ValueError("slab B must be >= 2 (x-halo depth)")

@@ -1316,7 +1316,17 @@ class ChorinSolver:
         state is sharded over a multi-device mesh (the SPMD partitioner
         cannot partition the fused pallas_call; step_sharded_jit /
         step_shard_map_jit run the jnp prelude for the same reason) or
-        when matching a step that ran with Pallas disabled."""
+        when matching a step that ran with Pallas disabled. Concrete
+        multi-device-sharded inputs are detected and routed to the jnp
+        prelude automatically; only traced (in-jit) calls still rely on
+        the caller passing allow_pallas=False."""
+        if allow_pallas:
+            try:  # tracers have no committed sharding — leave them alone
+                sh = getattr(state.vx, "sharding", None)
+                if sh is not None and getattr(sh, "num_devices", 1) > 1:
+                    allow_pallas = False
+            except Exception:
+                pass
         if self._fused_pre is not None and allow_pallas:
             # the step's own prelude (bit-exact with _step_impl's fused
             # branch, which is what a donating single-device step_jit ran)
