@@ -13,9 +13,15 @@
 set -e
 cd "$(dirname "$0")/.."
 
-NX="${NX:-255}"
+NX="${NX:-256}"            # global streamwise cells; the default divides
+                           # evenly over power-of-two slices so the x-only
+                           # mesh (the Pallas fast path) stays eligible
 NT="${NT:-1000}"
-MESH="${MESH:-}"           # e.g. 2x2x2; empty = auto near-cubic factorization
+MESH="${MESH:-}"           # e.g. 8x1x1; empty = auto (prefers x-only —
+                           # the ONLY shape the per-shard fused Pallas
+                           # Poisson kernel composes on; falls back to
+                           # near-cubic + the jnp loop when x-only slabs
+                           # would be too thin or NX doesn't divide)
 EXTRA_ARGS="${EXTRA_ARGS:-}"
 
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.cache/jax}"
@@ -33,13 +39,12 @@ except Exception as e:  # single-host / already initialized
 
 import navierstokes3d_tpu.run as run
 
-mesh = os.environ.get("MESH") or None
-if mesh is None:
-    from navierstokes3d_tpu.parallel import choose_mesh_shape
-    shape = choose_mesh_shape(len(jax.devices()))
-    mesh = "x".join(map(str, shape))
+# MESH empty -> 'auto': run.py factorizes all visible devices, preferring
+# the x-only shape so --comm auto lands on the shard_map + per-shard
+# Pallas fast path (parallel/mesh.choose_mesh_shape documents the rule).
+mesh = os.environ.get("MESH") or "auto"
 
-argv = ["--nx", os.environ.get("NX", "255"),
+argv = ["--nx", os.environ.get("NX", "256"),
         "--nt", os.environ.get("NT", "1000"),
         "--mesh", mesh,
         "--dtype", "float32"]

@@ -29,9 +29,24 @@ from ..state import FlowState
 AXES = ("x", "y", "z")
 
 
-def choose_mesh_shape(n_devices: int) -> Tuple[int, int, int]:
-    """Factor n_devices into a near-cubic (px,py,pz), largest factor on x
-    (the streamwise dimension, which has the most cells)."""
+def choose_mesh_shape(n_devices: int, nx: Optional[int] = None,
+                      min_bx: int = 8) -> Tuple[int, int, int]:
+    """Factor n_devices into a mesh shape (px,py,pz).
+
+    When the grid's streamwise extent nx is known, prefer the x-only
+    shape (n,1,1): it is the ONLY decomposition on which the per-shard
+    fused Pallas Poisson kernel composes (parallel/halo.py:318 — the
+    fast path, ~2.2x over the jnp loop at the 255 grid), and the halo
+    traffic is two (1,W) face rows per iteration. Eligibility: nx must
+    split evenly (shard_map requires equal blocks) with slabs of at
+    least min_bx rows (thin slabs starve the kernel's B=8 x-blocking
+    and leave advection halos without interior backing).
+
+    Without nx (or when x-only slabs would be too thin) fall back to the
+    near-cubic factorization that minimizes halo surface per device,
+    tie-breaking toward larger px (x has the most cells)."""
+    if nx is not None and nx % n_devices == 0 and nx // n_devices >= min_bx:
+        return (n_devices, 1, 1)
     best = (n_devices, 1, 1)
     best_score = None
     for px in range(1, n_devices + 1):

@@ -40,7 +40,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ckpt-dir", default="ckpt")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--mesh", default=None,
-                    help="device mesh PXxPYxPZ, e.g. 2x2x2 (default: 1 chip)")
+                    help="device mesh PXxPYxPZ, e.g. 2x2x2, or 'auto' to "
+                         "span all visible devices (prefers the x-only "
+                         "shape, on which the per-shard fused Pallas "
+                         "Poisson kernel composes; default: 1 chip)")
     ap.add_argument("--comm", choices=("auto", "shard_map", "fullstep"),
                     default="auto",
                     help="sharded communication backend: 'auto' lets the "
@@ -136,15 +139,44 @@ def main(argv=None):
 
     mesh = None
     fullstep = False
+    comm = args.comm
     if args.mesh:
-        from navierstokes3d_tpu.parallel import make_mesh, shard_state
-        shape = tuple(int(p) for p in args.mesh.lower().split("x"))
+        from navierstokes3d_tpu.parallel import (choose_mesh_shape,
+                                                 make_mesh, shard_state)
+        if args.mesh.lower() == "auto":
+            shape = choose_mesh_shape(len(jax.devices()), nx=cfg.numerics.nx)
+        else:
+            shape = tuple(int(p) for p in args.mesh.lower().split("x"))
         mesh = make_mesh(shape=shape)
-        if args.comm in ("shard_map", "fullstep"):
+        if comm == "auto" and mesh.size > 1:
+            # Route the default to the fast path. On an x-only mesh that
+            # splits nx evenly, the per-shard fused Pallas Poisson kernel
+            # composes (~2.2x over the jnp loop the global-view
+            # partitioner forces at the 255 grid): prefer the full-step
+            # schedule (owned-face storage, explicit halos, ZERO
+            # all-gathers — tests/test_defaults.py pins this) when the
+            # slabs are thick enough for the advection halo, else the
+            # shard_map Poisson loop (also carries halo_width>1
+            # batching). Non-x-only meshes and uneven x splits stay on
+            # the global-view SPMD path, which tolerates both. Each
+            # backend's own gate falls back to its jnp loop when the
+            # kernel itself is ineligible (non-f32, VMEM envelope).
+            x_only = shape[1] == 1 and shape[2] == 1
+            divisible = cfg.numerics.nx % shape[0] == 0
+            bx = cfg.numerics.nx // shape[0]
+            if x_only and divisible:
+                comm = ("fullstep" if args.halo_width == 1
+                        and bx >= solver.advect_k + 2 else "shard_map")
+            else:
+                comm = "sharded"
+            if not args.quiet:
+                print(f"--comm auto -> {comm} on mesh "
+                      f"{'x'.join(map(str, shape))}", file=sys.stderr)
+        if comm in ("shard_map", "fullstep"):
             from navierstokes3d_tpu.config import ParallelConfig
             solver = ns.ChorinSolver(cfg.replace(parallel=ParallelConfig(
                 mesh_shape=shape, halo=args.halo_width)))
-            if args.comm == "fullstep":
+            if comm == "fullstep":
                 from navierstokes3d_tpu.parallel import fullstep as fsmod
                 fullstep = True
 
@@ -154,9 +186,9 @@ def main(argv=None):
             # methods share jax's trace cache, so a rebuild after
             # solver.advect_method changed would reuse the stale trace
             return jax.jit(lambda st: solver.step(st), donate_argnums=0)
-        if args.comm == "fullstep":
+        if comm == "fullstep":
             return solver.step_fullstep_jit(mesh)
-        if args.comm == "shard_map":
+        if comm == "shard_map":
             return solver.step_shard_map_jit(mesh)
         return solver.step_sharded_jit(mesh)
 
