@@ -95,7 +95,10 @@ def log(msg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nx", type=int, default=255)
-    ap.add_argument("--steps", type=int, default=3)
+    # 8 timed steps: with the tunnel's ~10% cross-process variance a
+    # 3-step window was the minimum credible record; 8 thickens it
+    # while staying ~3 s of timed work at the 255 grid
+    ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--dtype", default="float32")
     args = ap.parse_args()
 

@@ -73,6 +73,41 @@ def save_frame(viz_dir: str, iframe: int, grid, fields: Dict[str, np.ndarray],
     return paths
 
 
+def make_animation(viz_dir: str, field: str = "Vx", plane: str = "xy",
+                   out_path: Optional[str] = None, fps: int = 8,
+                   frames: Optional[Sequence[str]] = None) -> str:
+    """Assemble the per-frame slice PNGs into an animated GIF.
+
+    The reference's README leads with exactly these animations
+    (README.md:58-93: Vx/Vy/Vz/Pr/C slice-plane GIFs of the developed
+    cylinder flow); the frames it stitches are the same per-`nvis`
+    outputs save_frame writes. Uses PIL (matplotlib's pillow writer
+    backend) — no ffmpeg dependency.
+
+    frames: explicit ordered file list; default = every
+    `3D_NavierStokes_{plane}_{field}_*.png` in viz_dir, sorted.
+    Returns the written path (default: `{viz_dir}/{field}_{plane}.gif`).
+    """
+    from PIL import Image
+
+    if frames is None:
+        import glob
+        frames = sorted(glob.glob(os.path.join(
+            viz_dir, f"3D_NavierStokes_{plane}_{field}_*.png")))
+    if not frames:
+        raise FileNotFoundError(
+            f"no {plane}/{field} frames found in {viz_dir}")
+    if out_path is None:
+        out_path = os.path.join(viz_dir, f"{field}_{plane}.gif")
+    imgs = [Image.open(p).convert("P", palette=Image.ADAPTIVE)
+            for p in frames]
+    imgs[0].save(out_path, save_all=True, append_images=imgs[1:],
+                 duration=max(1, round(1000 / fps)), loop=0)
+    for im in imgs:
+        im.close()
+    return out_path
+
+
 def save_convergence(viz_dir: str, iframe: int,
                      iter_evo: Sequence[float], err_evo: Sequence[float]):
     """Poisson-convergence log plot (NavierStokes3D_multi_gpu.jl:488)."""

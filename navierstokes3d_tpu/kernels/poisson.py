@@ -102,7 +102,9 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                        mode: str = "blocked", extended: bool = False,
                        local_rows: Optional[int] = None,
                        folded: bool = False,
-                       mrows: Optional[int] = None):
+                       mrows: Optional[int] = None,
+                       lane_tiles: Optional[int] = None,
+                       sweep_depth: Optional[int] = None):
     """Returns (iter_fn, pack, unpack):
 
       pack(pr, dprdtau, rhs3d) -> flattened state tuple
@@ -149,6 +151,42 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
     W = ((nyz + 127) // 128) * 128
     jdtype = jnp.dtype(dtype)
     itemsize = np.dtype(dtype).itemsize
+
+    # ---- lane tiling (wide grids) ----
+    # At 511-class widths (W ~ 94k lanes) the whole-row working set
+    # forces M=1 (pr fetched 3x) and the kernel runs exactly at the
+    # measured HBM stream floor (~505 GB/s on 7.25 passes/iter,
+    # benchmarks/wide_row_probe.py) — unlike the 255 grid, whose entire
+    # problem is VMEM-class. The only lever is traffic: tile the lane
+    # dimension into T tiles of WT lanes so the M-row re-fetch blocking
+    # (and the temporal 2-sweep) fit VMEM again. Each tile fetches
+    # HW-lane halo blocks from its neighbors for the +-nz/+-1 lane
+    # stencil; tile-edge garbage lands only on non-interior lanes, the
+    # same invariant that covers the cyclic-roll wraparound at T=1.
+    # HW is sized for two chained sweeps (reach 2*nz+2) so the 1-sweep
+    # and 2-sweep kernels share one layout.
+    T, WT, HW = 1, W, 0
+    # default sweep depth 3: at the 511-class operating point (T=4,
+    # M=4) the s=3 kernel measured best (0.78 ms/iter vs 0.87/0.90 at
+    # s=4/5 on T=8 and 1.56 at s=2) — deeper sweeps trade vanishing
+    # stream savings for linear VPU cost and halo padding
+    SWD = int(sweep_depth if sweep_depth is not None
+              else os.environ.get("NS3D_SWEEP_DEPTH", "3"))
+    if mode == "blocked" and folded and local_rows is None and not extended:
+        t_req = lane_tiles
+        if t_req is None and not interpret and W > (1 << 15):
+            t_req = max(1, round(W / 24576))
+        if t_req and t_req > 1:
+            # halo width sized so SWD chained sweeps stay clear of the
+            # concat edges: each sweep consumes <= nz+1 lanes of margin
+            HW = ((SWD * (nz + 1) + 127) // 128) * 128
+            T = int(t_req)
+            WT = -(-nyz // (T * HW)) * HW
+            if WT < HW or T < 2:
+                T, WT, HW = 1, W, 0  # degenerate: halos span tiles
+            else:
+                W = T * WT
+    CW = WT + 2 * HW  # in-kernel concat width (center + both halos)
     B = slab or choose_slab(nx, W, itemsize)
     S = nx // B
     inv_dx2 = np.array(1.0 / dx / dx, np.dtype(dtype))
@@ -396,13 +434,25 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 cands = [mrows]
             elif env_m:
                 cands = [int(env_m)]
+            elif T > 1:
+                cands = [8, 4, 2, 1]
             else:
                 cands = [1] if extended else [4, 2, 1]
             streams = 2 if extended else 1
             n_out = 3 if extended else 2
             for m in cands:
-                live_rows = 2 * (streams * (m + 2) * B + (2 + n_out) * m * B)
-                if S % m == 0 and live_rows * W * itemsize <= 72 * 2 ** 20:
+                if T > 1:
+                    # tiled working set: double-buffered IO blocks (pr
+                    # center+halos, dpr, rhs, outs) + the concat/roll
+                    # temporaries of the (R+2, CW) window
+                    live = (2 * ((m + 2) * B * CW + 4 * m * B * WT)
+                            + 10 * (m * B + 2) * CW)
+                    ok = live * itemsize + 2 ** 22 <= 100 * 2 ** 20
+                else:
+                    live_rows = 2 * (streams * (m + 2) * B
+                                     + (2 + n_out) * m * B)
+                    ok = live_rows * W * itemsize <= 72 * 2 ** 20
+                if S % m == 0 and ok:
                     M = m
                     break
             if (mrows is not None or env_m) and M == 1 and cands[0] != 1:
@@ -525,7 +575,304 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             def _():
                 err_out[0, 0] = jnp.maximum(err_out[0, 0], rm)
 
-        if not extended:
+        if T > 1:
+            # ---- lane-tiled folded kernel (wide grids) ----
+            # 2D grid (tile, x-step): per lane tile the x-slabs stream
+            # exactly like the T=1 kernel; the +-nz/+-1 lane stencil reads
+            # HW-lane halo blocks of the neighboring tiles, concatenated
+            # around the center block in VMEM. Bit-compatible with the
+            # T=1 folded math (same per-lane expressions and sum order;
+            # rolls act on the concat window instead of the full row).
+            Q = WT // HW
+            TQ = T * Q
+
+            def row_block_t(off):
+                return pl.BlockSpec(
+                    (B, WT),
+                    (lambda t, s, off=off: (jnp.clip(s * M + off, 0, S - 1),
+                                            t)),
+                    memory_space=pltpu.VMEM)
+
+            def halo_block_t(off, side):
+                d = -1 if side == 0 else Q
+                return pl.BlockSpec(
+                    (B, HW),
+                    (lambda t, s, off=off, d=d: (
+                        jnp.clip(s * M + off, 0, S - 1),
+                        jnp.clip(t * Q + d, 0, TQ - 1))),
+                    memory_space=pltpu.VMEM)
+
+            big_t = pl.BlockSpec((R, WT), (lambda t, s: (s, t)),
+                                 memory_space=pltpu.VMEM)
+            lane_t = pl.BlockSpec((1, WT), (lambda t, s: (0, t)),
+                                  memory_space=pltpu.VMEM)
+            smem_t = pl.BlockSpec((1, 1), (lambda t, s: (0, 0)),
+                                  memory_space=pltpu.SMEM)
+            err_block_t = pl.BlockSpec((1, 1), (lambda t, s: (0, 0)),
+                                       memory_space=pltpu.SMEM)
+
+            def lap_center(p_cat, gx, wyp, wym, wzp, wzm):
+                """Folded lap on the (rows, CW) concat window, sliced to
+                the WT center lanes — per-lane arithmetic identical to
+                lap_of_rows_folded (tile-edge reads come from real
+                neighbor-halo data instead of the cyclic roll)."""
+                pc = p_cat[1:-1, :]
+                ctr = lambda a: a[:, HW:HW + WT]
+                pcc = ctr(pc)
+                xp = ctr(p_cat[2:, :]) - pcc
+                xm = ctr(p_cat[:-2, :]) - pcc
+                if bc.zero_grad_x:
+                    xm = jnp.where(gx == 1, jnp.zeros_like(xm), xm)
+                lap = (xp + xm) * inv_dx2
+                lap += ((ctr(pltpu.roll(pc, CW - nz, 1)) - pcc)
+                        * wyp[0:1, :]
+                        + (ctr(pltpu.roll(pc, nz, 1)) - pcc) * wym[0:1, :])
+                lap += ((ctr(pltpu.roll(pc, CW - 1, 1)) - pcc)
+                        * wzp[0:1, :]
+                        + (ctr(pltpu.roll(pc, 1, 1)) - pcc) * wzm[0:1, :])
+                return lap, pcc
+
+            def kernel(*refs):
+                prs = refs[:M + 2]
+                prl = refs[M + 2:2 * (M + 2)]
+                prr = refs[2 * (M + 2):3 * (M + 2)]
+                (dpr, rhs, row0, row1, row2, row3, row4, chk,
+                 pr_out, dpr_out, err_out) = refs[3 * (M + 2):]
+                tidx = pl.program_id(0)
+                sidx = pl.program_id(1)
+                gx, live = rows_of(sidx, 0)
+                p_cat = jnp.concatenate(
+                    [p_ext_of(sidx, prl, None),
+                     p_ext_of(sidx, prs, None),
+                     p_ext_of(sidx, prr, None)], axis=1)
+                lap, pcc = lap_center(p_cat, gx, row1, row2, row3, row4)
+                resid = lap - rhs[:, :]
+                d_new = (dpr[:, :] * decay + dtau_c * resid) * row0[0:1, :]
+                d_new = jnp.where(live, d_new, jnp.zeros_like(d_new))
+                pr_out[:, :] = pcc + dtau_c * d_new
+                dpr_out[:, :] = d_new
+
+                @pl.when(chk[0, 0] != 0)
+                def _():
+                    emit_err(err_out, tidx * G + sidx,
+                             resid_max(resid, live, row0))
+
+            in_specs_t = [row_block_t(off) for off in range(-1, M + 1)]
+            in_specs_t += [halo_block_t(off, 0) for off in range(-1, M + 1)]
+            in_specs_t += [halo_block_t(off, 1) for off in range(-1, M + 1)]
+            in_specs_t += [big_t, big_t,
+                           lane_t, lane_t, lane_t, lane_t, lane_t, smem_t]
+            cost_t = pl.CostEstimate(
+                flops=20 * nx * W,
+                bytes_accessed=int(((M + 2) / M * CW / WT + 4)
+                                   * nx * W * itemsize),
+                transcendentals=0)
+            live_e = (2 * ((M + 2) * B * CW + 4 * R * WT)
+                      + 10 * (R + 2) * CW)
+            params_t = pltpu.CompilerParams(
+                vmem_limit_bytes=int(min(live_e * itemsize + 2 ** 22,
+                                         110 * 2 ** 20)))
+            pallas_iter = pl.pallas_call(
+                kernel,
+                grid=(T, G),
+                out_shape=(slab_shape, slab_shape, err_shape),
+                in_specs=in_specs_t,
+                out_specs=(big_t, big_t, err_block_t),
+                input_output_aliases={3 * (M + 2): 1},
+                compiler_params=params_t,
+                cost_estimate=cost_t,
+                interpret=interpret,
+            )
+
+            def iter_fn(pr_flat, dpr_flat, rhs_flat, do_chk=None):
+                return pallas_iter(*([pr_flat] * (3 * (M + 2))),
+                                   dpr_flat, rhs_flat, *rows_c,
+                                   _as_flag(do_chk))
+
+            def pack(pr, dprdtau, rhs3d):
+                return zpack(pr), zpack(dprdtau), zpack(rhs3d)
+
+            def unpack(pr_flat, dpr_flat):
+                return unflat(pr_flat), unflat(dpr_flat)
+
+            # ---- tiled temporal 2-sweep: two damped Jacobi iterations
+            # per HBM round trip. Where the T=1 grid is VMEM-class and
+            # the 2-sweep LOSES (VPU-bound, measured 96.5 vs 83.7 us at
+            # 255), the wide tiled grid is HBM-stream-bound, so halving
+            # the write stream and amortizing the dpr/rhs fetches is a
+            # direct win. Sweep 1 runs on the full (R+4, CW) concat
+            # window (its outputs are needed at +-(nz+1) halo lanes by
+            # sweep 2), so the lane-constant rows come in halo-extended
+            # (1, T*CW) form; HW >= 2*nz+2 guarantees sweep 2's reads
+            # stay clear of both the concat edges and roll wraparound.
+            def ext_lane_row(a):
+                """(1, W) np constant -> (1, T*CW): per tile the center
+                segment plus its two HW halos (zero-filled at the global
+                edges — zero weights there freeze out-of-range lanes,
+                the same invariant as the cyclic-roll garbage)."""
+                out = np.zeros((1, T * CW), a.dtype)
+                for t in range(T):
+                    lo = t * WT - HW
+                    s0, s1 = max(lo, 0), min(t * WT + WT + HW, W)
+                    out[0, t * CW + (s0 - lo):t * CW + (s0 - lo)
+                        + (s1 - s0)] = a[0, s0:s1]
+                return out
+
+            rows_ext_c = tuple(
+                jnp.asarray(ext_lane_row(np.asarray(r)))
+                for r in (yz_interior, fyp, fym, fzp, fzm))
+            lane_ext_t = pl.BlockSpec((1, CW), (lambda t, s: (0, t)),
+                                      memory_space=pltpu.VMEM)
+
+            def rows_of2_t(sidx):
+                lrow = (sidx * R - 1
+                        + jax.lax.broadcasted_iota(jnp.int32,
+                                                   (R + 2, 1), 0))
+                live = jnp.logical_and(lrow >= 1, lrow <= nx - 2)
+                return lrow, live
+
+            def ext_of_t(blocks, take):
+                lo = blocks[0][B - take:, :]
+                hi = blocks[M + 1][:take, :]
+                mid = [b[:, :] for b in blocks[1:M + 1]]
+                return jnp.concatenate([lo, *mid, hi], axis=0)
+
+            def cat3(l, c, r):
+                return jnp.concatenate([l, c, r], axis=1)
+
+            def lap_full(p_ext, gx, wyp, wym, wzp, wzm):
+                """Folded lap over the full CW width (sweep 1)."""
+                pc = p_ext[1:-1, :]
+                xp = p_ext[2:, :] - pc
+                xm = p_ext[:-2, :] - pc
+                if bc.zero_grad_x:
+                    xm = jnp.where(gx == 1, jnp.zeros_like(xm), xm)
+                lap = (xp + xm) * inv_dx2
+                lap += ((pltpu.roll(pc, CW - nz, 1) - pc) * wyp[0:1, :]
+                        + (pltpu.roll(pc, nz, 1) - pc) * wym[0:1, :])
+                lap += ((pltpu.roll(pc, CW - 1, 1) - pc) * wzp[0:1, :]
+                        + (pltpu.roll(pc, 1, 1) - pc) * wzm[0:1, :])
+                return lap, pc
+
+            nn = M + 2
+
+            def mk_sweep_fn(s):
+                """s chained damped Jacobi iterations per HBM round trip.
+                Sweeps 1..s-1 run on the full CW width with windows
+                shrinking 2 rows / (nz+1) lanes per sweep; the final
+                sweep is center-lane only and emits its entering
+                residual — the same check quantity as s unrolled 1-sweep
+                calls, so iteration counts match exactly."""
+                def kernelS(*refs):
+                    prs, prl, prr = (refs[:nn], refs[nn:2 * nn],
+                                     refs[2 * nn:3 * nn])
+                    dps, dpl, dprr = (refs[3 * nn:4 * nn],
+                                      refs[4 * nn:5 * nn],
+                                      refs[5 * nn:6 * nn])
+                    rhc, rhl, rhr = (refs[6 * nn:7 * nn],
+                                     refs[7 * nn:8 * nn],
+                                     refs[8 * nn:9 * nn])
+                    (row0e, row1e, row2e, row3e, row4e, chk,
+                     pr_out, dpr_out, err_out) = refs[9 * nn:]
+                    tidx = pl.program_id(0)
+                    sidx = pl.program_id(1)
+                    WR = R + 2 * (s - 1)   # rows of the d/rhs windows
+                    lrow = (sidx * R - (s - 1)
+                            + jax.lax.broadcasted_iota(jnp.int32,
+                                                       (WR, 1), 0))
+                    live = jnp.logical_and(lrow >= 1, lrow <= nx - 2)
+                    gx = lrow
+                    q = cat3(ext_of_t(prl, s), ext_of_t(prs, s),
+                             ext_of_t(prr, s))            # (R+2s, CW)
+                    d = cat3(ext_of_t(dpl, s - 1), ext_of_t(dps, s - 1),
+                             ext_of_t(dprr, s - 1)) if s > 1 else None
+                    rv = cat3(ext_of_t(rhl, s - 1), ext_of_t(rhc, s - 1),
+                              ext_of_t(rhr, s - 1))       # (WR, CW)
+                    ctr = lambda a: a[:, HW:HW + WT]
+                    w_c = [r[0:1, HW:HW + WT] for r in
+                           (row0e, row1e, row2e, row3e, row4e)]
+                    for j in range(s):
+                        if j == s - 1:
+                            # final sweep: center lanes, emit residual
+                            lap, qcc = lap_center(q, gx, w_c[1], w_c[2],
+                                                  w_c[3], w_c[4])
+                            resid = lap - ctr(rv)
+                            d_new = ((ctr(d) * decay + dtau_c * resid)
+                                     * w_c[0])
+                            d_new = jnp.where(live, d_new,
+                                              jnp.zeros_like(d_new))
+                            pr_out[:, :] = qcc + dtau_c * d_new
+                            dpr_out[:, :] = d_new
+
+                            @pl.when(chk[0, 0] != 0)
+                            def _():
+                                emit_err(err_out, tidx * G + sidx,
+                                         resid_max(resid, live, w_c[0]))
+                        else:
+                            lap, qc = lap_full(q, gx, row1e, row2e,
+                                               row3e, row4e)
+                            resid = lap - rv
+                            d_new = ((d * decay + dtau_c * resid)
+                                     * row0e[0:1, :])
+                            d_new = jnp.where(live, d_new,
+                                              jnp.zeros_like(d_new))
+                            q = qc + dtau_c * d_new
+                            d = d_new[1:-1, :]
+                            rv = rv[1:-1, :]
+                            gx = gx[1:-1, :]
+                            live = live[1:-1, :]
+
+                in_specsS = []
+                for _arr in range(3):  # pr, dpr, rhs
+                    in_specsS += [row_block_t(off)
+                                  for off in range(-1, M + 1)]
+                    in_specsS += [halo_block_t(off, 0)
+                                  for off in range(-1, M + 1)]
+                    in_specsS += [halo_block_t(off, 1)
+                                  for off in range(-1, M + 1)]
+                in_specsS += [lane_ext_t] * 5 + [smem_t]
+                costS = pl.CostEstimate(
+                    flops=s * 20 * nx * W,
+                    bytes_accessed=int((3 * (M + 2) / M * CW / WT + 2)
+                                       * nx * W * itemsize),
+                    transcendentals=0)
+                liveS = (2 * (3 * nn * B * CW + 2 * R * WT)
+                         + (10 + 2 * s) * (R + 2 * s) * CW)
+                if liveS * itemsize + 2 ** 22 > 110 * 2 ** 20:
+                    return None
+                paramsS = pltpu.CompilerParams(
+                    vmem_limit_bytes=int(min(liveS * itemsize + 2 ** 22,
+                                             110 * 2 ** 20)))
+                pallas_iterS = pl.pallas_call(
+                    kernelS,
+                    grid=(T, G),
+                    out_shape=(slab_shape, slab_shape, err_shape),
+                    in_specs=in_specsS,
+                    out_specs=(big_t, big_t, err_block_t),
+                    compiler_params=paramsS,
+                    cost_estimate=costS,
+                    interpret=interpret,
+                )
+
+                def iterS_fn(pr_flat, dpr_flat, rhs_flat, do_chk=None):
+                    return pallas_iterS(*([pr_flat] * (3 * nn)),
+                                        *([dpr_flat] * (3 * nn)),
+                                        *([rhs_flat] * (3 * nn)),
+                                        *rows_ext_c, _as_flag(do_chk))
+
+                iterS_fn.sweeps = s
+                return iterS_fn
+
+            sweep_fns = {}
+            for s in range(2, max(2, min(SWD, B)) + 1):
+                fn_s = mk_sweep_fn(s)
+                if fn_s is not None:
+                    sweep_fns[s] = fn_s
+            if 2 in sweep_fns:
+                iter_fn.sweep2 = sweep_fns[2]
+            iter_fn.sweep_fns = sweep_fns
+
+        elif not extended:
             def kernel(*refs):
                 prs = refs[:M + 2]
                 if dist:
@@ -998,6 +1345,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
     iter_fn.mode = mode
     iter_fn.folded = folded
     iter_fn.mrows = M if mode == "blocked" else 1
+    iter_fn.lane_tiles = T if mode == "blocked" else 1
     # blocked-mode iter_fn returns a trailing (1, 1) SMEM-accumulated
     # masked max|resid| of the ENTERING state, max-reduced across the
     # kernel's grid steps (see ptloop.pt_loop_fused)

@@ -244,10 +244,15 @@ class ChorinSolver:
         # sequence, which replicates the reference's update-then-BC loop
         # bit-for-bit in structure.
         self._pallas_folded = (not cfg.compat) and mode == "blocked"
+        # NS3D_LANE_TILES: force the lane-tiled kernel build (wide grids
+        # select it automatically on TPU; the env knob serves CPU
+        # interpret tests and TPU experiments)
+        lt_env = os.environ.get("NS3D_LANE_TILES")
         self._pallas = build_poisson_iter(
             grid.nx, grid.ny, grid.nz, grid.dx, grid.dy, grid.dz,
             grid.dtau, grid.damp, bc, dtype=self.dtype, slab=slab,
-            interpret=interpret, mode=mode, folded=self._pallas_folded)
+            interpret=interpret, mode=mode, folded=self._pallas_folded,
+            lane_tiles=int(lt_env) if lt_env else None)
         # extended (double-single) kernel for the accuracy phase of the
         # hybrid solve (_poisson_solve_pallas); ~1.8x cost/iteration.
         # Built only when selected — the default accuracy phase on this
@@ -392,36 +397,44 @@ class ChorinSolver:
                 and budget >= 2
                 and os.environ.get("NS3D_UNROLL2", "1") != "0")
 
-    def _unroll_mode(self, budget: int, have_sweep2: bool) -> int:
-        """Iterations per loop body: 4 = two temporal 2-sweep kernel
-        calls (kernels/poisson.py kernel2 — ~3.25 HBM passes/iteration;
-        the call pair ping-pongs the pr/dpr carry buffers so XLA's fixed
-        buffer assignment needs no per-iteration copy), 2 = the unrolled
-        1-sweep pair, 1 = single call. All modes perform the same kernel
-        math with the same check semantics — check values are always the
-        residual entering iteration k*nchk (ptloop.pt_loop_fused), and
-        the gates require nchk and the checked budget to be body-advance
-        multiples — so iteration counts match exactly; fields match to
-        per-program FMA-contraction rounding (tests/test_pallas.py
-        sweep2 tests). NS3D_SWEEP2=0 disables mode 4; NS3D_UNROLL2=0
-        forces mode 1."""
+    def _sweep_plan(self, iter_fn, budget: int):
+        """Temporal-sweep body selection for the folded convergence loop.
+
+        Returns (s, sweep_fn) to run bodies of TWO s-sweep kernel calls
+        (2s iterations/body; the call pair ping-pongs the pr/dpr carry
+        buffers so XLA's fixed buffer assignment needs no per-iteration
+        copy), or None for the plain 1-sweep bodies (then _unroll2
+        decides 2x vs 1x). All modes perform the same kernel math with
+        the same check semantics — check values are always the residual
+        entering iteration k*nchk (ptloop.pt_loop_fused), and the gates
+        require nchk and the checked budget to be body-advance multiples
+        — so iteration counts match exactly; fields match to per-program
+        FMA-contraction rounding (tests/test_pallas.py sweep2 tests).
+
+        Defaults: ON for lane-tiled (wide-grid) kernels, where the loop
+        is HBM-stream-bound and s-sweeps cut traffic ~s-fold on the
+        write stream (511x307x307 measured 2.68 -> 0.78 ms/iter at s=3,
+        benchmarks/wide_row_probe.py + round-4 notes); OFF for the T=1
+        kernel, whose whole working set is VMEM-class and where the
+        extra sweep arithmetic measured SLOWER (96.5 vs 83.7 us/iter at
+        255). NS3D_SWEEP2=1/0 overrides either default; NS3D_UNROLL2=0
+        forces single-call bodies."""
         if os.environ.get("NS3D_UNROLL2", "1") == "0":
-            return 1
-        if (have_sweep2 and self.grid.nchk % 4 == 0
-                and self.grid.nchk >= 8 and budget % 4 == 0
-                and budget >= 4
-                and os.environ.get("NS3D_SWEEP2", "0") == "1"):
-            # OPT-IN (measured SLOWER on v5e at 255: 96.5 vs 83.7 us/iter
-            # blended): the folded kernel is VPU-bound, so halving HBM
-            # traffic buys nothing and the second sweep's (R+2)-row
-            # recompute + 18-stream pipeline add ~15%. Kept (tested,
-            # iteration-count-exact) as the traffic-shaped variant for
-            # HBM-bound parts (v4/v5p have lower flop:byte headroom) and
-            # as the scaffold for deeper temporal blocking.
-            return 4
-        if self._unroll2(budget):
-            return 2
-        return 1
+            return None
+        fns = getattr(iter_fn, "sweep_fns", None)
+        if not fns:
+            s2 = getattr(iter_fn, "sweep2", None)
+            fns = {2: s2} if s2 is not None else {}
+        tiled = getattr(iter_fn, "lane_tiles", 1) > 1
+        if not fns or os.environ.get(
+                "NS3D_SWEEP2", "1" if tiled else "0") != "1":
+            return None
+        for s in sorted(fns, reverse=True):
+            n = 2 * s
+            if (self.grid.nchk % n == 0 and self.grid.nchk >= 2 * n
+                    and budget % n == 0 and budget >= n):
+                return s, fns[s]
+        return None
 
     def step_sharded_jit(self, mesh):
         """Jitted step over a 3D device mesh (global-view SPMD path).
@@ -911,27 +924,30 @@ class ChorinSolver:
             # global iteration 1.
             rem1 = 0 if hybrid else rem
             budget1 = nchunks * grid.nchk + rem1
-            sweep2 = getattr(iter_fn, "sweep2", None)
-            mode1 = self._unroll_mode(nchunks * grid.nchk, sweep2
-                                      is not None)
-            if mode1 == 4:
-                # two temporal 2-sweep calls per body (4 iterations).
-                # Pre-run to global iteration 4 (exact iter 1 above, one
-                # 1-sweep, one 2-sweep) so bodies start at 4-parity;
-                # check flags land on call 2's second sweep — the same
-                # entering-iteration-k*nchk values as the 1x loop. The
-                # trailing partial chunk (non-hybrid) becomes a post-loop
-                # tail (pt_loop_fused rem/tail_fn), identical iterations.
+            plan1 = self._sweep_plan(iter_fn, nchunks * grid.nchk)
+            if plan1:
+                # two temporal s-sweep calls per body (2s iterations).
+                # Pre-run to global iteration 2s (exact iter 1 above,
+                # one 1-sweep, s-1 2-sweeps) so bodies start at
+                # 2s-parity; check flags land on call 2's last sweep —
+                # the same entering-iteration-k*nchk values as the 1x
+                # loop. The trailing partial chunk (non-hybrid) becomes
+                # a post-loop tail (pt_loop_fused rem/tail_fn),
+                # identical iterations.
+                s_n, sweep_s = plan1
+                n_adv = 2 * s_n
+                sweep2 = (iter_fn.sweep_fns[2] if s_n > 2 else sweep_s)
                 pr_pad, dpr_f, _ = iter_fn(pr_pad, dpr_f, rhs_f, False)
-                pr_pad, dpr_f, _ = sweep2(pr_pad, dpr_f, rhs_f, False)
+                for _ in range(s_n - 1):
+                    pr_pad, dpr_f, _ = sweep2(pr_pad, dpr_f, rhs_f, False)
 
                 def step1(carry, it):
                     pp, df = carry
-                    pp, df, _ = sweep2(pp, df, rhs_f, False)
-                    pp, df, ec = sweep2(pp, df, rhs_f,
-                                        (it + 4) % grid.nchk == 0)
+                    pp, df, _ = sweep_s(pp, df, rhs_f, False)
+                    pp, df, ec = sweep_s(pp, df, rhs_f,
+                                         (it + n_adv) % grid.nchk == 0)
                     return ((pp, df), jnp.max(ec) * err_scale,
-                            jnp.int32(4))
+                            jnp.int32(n_adv))
 
                 def tail1(carry):
                     return lax.fori_loop(
@@ -939,7 +955,7 @@ class ChorinSolver:
                         carry)
 
                 (pr_pad, dpr_f), it1, err1, hist1 = pt_loop_fused(
-                    step1, (pr_pad, dpr_f), 4, nchunks * grid.nchk,
+                    step1, (pr_pad, dpr_f), n_adv, nchunks * grid.nchk,
                     grid.nchk, nchunks, eps1, self.dtype,
                     stall=stall1 if hybrid else self._stall,
                     rem=rem1, tail_fn=tail1 if rem1 else None)
@@ -978,7 +994,7 @@ class ChorinSolver:
 
                 it0 = 1
 
-            if mode1 != 4:
+            if not plan1:
                 (pr_pad, dpr_f), it1, err1, hist1 = pt_loop_fused(
                     step1, (pr_pad, dpr_f), it0, budget1,
                     grid.nchk, nchunks, eps1, self.dtype,
@@ -1030,24 +1046,23 @@ class ChorinSolver:
             errh = emax * err_scale
             rhs_c = -r0
 
-            moded = self._unroll_mode(nchunks * grid.nchk,
-                                      getattr(iter_fn, "sweep2", None)
-                                      is not None)
+            pland = self._sweep_plan(iter_fn, nchunks * grid.nchk)
             n2_loop, rem2 = n2, 0
             tail2 = None
-            if moded == 4:
-                # two temporal 2-sweep calls per body; it0=0 is already
-                # 4-parity, and the loop may exit before its first body
+            if pland:
+                # two temporal s-sweep calls per body; it0=0 is already
+                # 2s-parity, and the loop may exit before its first body
                 # via err0=errh. The trailing partial chunk becomes the
                 # post-loop tail (identical 1-sweep iterations).
-                sweep2 = iter_fn.sweep2
+                s_d, sweep_d = pland
+                n_d = 2 * s_d
 
                 def stepd(carry, it):
-                    dl, dd, _ = sweep2(*carry, rhs_c, False)
-                    dl, dd, ec = sweep2(dl, dd, rhs_c,
-                                        (it + 4) % grid.nchk == 0)
+                    dl, dd, _ = sweep_d(*carry, rhs_c, False)
+                    dl, dd, ec = sweep_d(dl, dd, rhs_c,
+                                         (it + n_d) % grid.nchk == 0)
                     return ((dl, dd),
-                            jnp.max(ec) * err_scale, jnp.int32(4))
+                            jnp.max(ec) * err_scale, jnp.int32(n_d))
 
                 n2_loop, rem2 = nchunks * grid.nchk, rem
                 if rem2:

@@ -84,6 +84,12 @@ def build_argparser() -> argparse.ArgumentParser:
                          "when a step's residual is non-finite; the "
                          "reference only breaks the Poisson loop and "
                          "keeps time-stepping (gpu.jl:135)")
+    ap.add_argument("--animate", action="store_true",
+                    help="after the run, assemble the saved viz frames "
+                         "into per-field/plane GIFs (viz.make_animation) "
+                         "— the reference README's showcase artifacts "
+                         "(README.md:58-93). Implies nothing about --vis: "
+                         "frames already in --viz-dir are included.")
     ap.add_argument("--quiet", action="store_true")
     return ap
 
@@ -301,6 +307,17 @@ def main(argv=None):
             checkpoint.save_checkpoint(
                 os.path.join(args.ckpt_dir, f"ckpt_{it:07d}.npz"),
                 to_flow(state), it, pressure_split=solver.pressure_split)
+
+    if args.animate:
+        import glob
+        for field in ("Pr", "C", "Vx", "Vy", "Vz"):
+            for plane in ("xy", "xz"):
+                if glob.glob(os.path.join(
+                        args.viz_dir,
+                        f"3D_NavierStokes_{plane}_{field}_*.png")):
+                    p = viz.make_animation(args.viz_dir, field, plane)
+                    if not args.quiet:
+                        print(f"animation: {p}", file=sys.stderr)
 
     summary = timer.summary()
     print(json.dumps(summary))

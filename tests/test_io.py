@@ -79,13 +79,18 @@ def test_cli_end_to_end(tmp_path):
             "--ckpt-dir", str(tmp_path / "ck"), "--quiet"]
     r = subprocess.run(base + ["--nt", "4", "--save", "--vis",
                                "--nvis", "2", "--nsave", "2",
-                               "--checkpoint-every", "2"],
+                               "--checkpoint-every", "2", "--animate"],
                        capture_output=True, text=True,
                        cwd=os.path.dirname(os.path.dirname(__file__)))
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "out" / "out_Pr_v_0001.bin").exists()
     assert (tmp_path / "viz" / "3D_NavierStokes_xy_Pr_0001.png").exists()
     assert (tmp_path / "ck" / "ckpt_0000004.npz").exists()
+    # --animate assembled the frames into the showcase GIFs
+    # (reference README.md:58-93)
+    gif = tmp_path / "viz" / "Vx_xy.gif"
+    assert gif.exists() and gif.stat().st_size > 0
+    assert (tmp_path / "viz" / "Pr_xz.gif").exists()
     # resume two more steps
     r2 = subprocess.run(base + ["--nt", "2", "--resume"],
                         capture_output=True, text=True,

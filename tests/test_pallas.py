@@ -419,3 +419,139 @@ def test_solver_sweep2_step_equivalence(monkeypatch):
     np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=5e-6,
                                err_msg="pr")
     assert np.isfinite(np.asarray(dpr1)).all()
+
+
+# ---- lane-tiled kernels (wide-grid traffic reduction) ----
+
+@pytest.mark.parametrize("zero_grad_x", [True, False])
+def test_lane_tiled_matches_untiled(zero_grad_x):
+    """The lane-tiled folded kernel (tile halos fetched from neighbor
+    blocks instead of full-row cyclic rolls) must be BIT-identical to
+    the untiled kernel in interpret mode: the per-lane expressions and
+    sum order are the same, only the data routing differs."""
+    nx, ny, nz = 24, 20, 18
+    dx = dy = dz = 0.1
+    if zero_grad_x:
+        bc = PoissonBCSpec(True, None, np.zeros(ny * nz))
+    else:
+        bc = PoissonBCSpec(False, np.full(ny * nz, 2.0),
+                           np.zeros(ny * nz))
+    rng = np.random.default_rng(7)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    pr = f32(rng.standard_normal((nx, ny, nz)))
+    dpr = np.zeros((nx, ny, nz))
+    dpr[1:-1, 1:-1, 1:-1] = rng.standard_normal((nx - 2, ny - 2, nz - 2))
+    dpr = f32(dpr)
+    rhs = f32(rng.standard_normal((nx, ny, nz)))
+    kw = dict(dtau=0.01, damp=0.9, bc=bc, dtype=jnp.float32,
+              interpret=True, mode="blocked", folded=True, mrows=1)
+    it0, p0, u0 = build_poisson_iter(nx, ny, nz, dx, dy, dz, **kw)
+    it3, p3, u3 = build_poisson_iter(nx, ny, nz, dx, dy, dz,
+                                     lane_tiles=3, **kw)
+    assert it0.lane_tiles == 1 and it3.lane_tiles == 3
+    sA, sB = p0(pr, dpr, rhs), p3(pr, dpr, rhs)
+    cA, cB = sA[:2], sB[:2]
+    for i in range(3):
+        oA = it0(*cA, sA[2], do_chk=1)
+        oB = it3(*cB, sB[2], do_chk=1)
+        cA, cB = oA[:2], oB[:2]
+        np.testing.assert_array_equal(np.asarray(oA[2]),
+                                      np.asarray(oB[2]),
+                                      err_msg=f"err iter {i}")
+    prA, dpA = u0(*cA)
+    prB, dpB = u3(*cB)
+    np.testing.assert_array_equal(np.asarray(prA), np.asarray(prB))
+    np.testing.assert_array_equal(np.asarray(dpA), np.asarray(dpB))
+
+
+@pytest.mark.parametrize("s", [2, 3, 4])
+def test_tiled_sweep_matches_single_sweeps(s):
+    """The tiled s-sweep kernel (s damped Jacobi iterations per HBM
+    round trip) must reproduce s single-sweep calls to per-program
+    compiler rounding, and its emitted residual must equal the LAST
+    call's (the entering-iteration value the convergence loop
+    consumes) exactly."""
+    nx, ny, nz = 20, 20, 18
+    bc = PoissonBCSpec(True, None, np.zeros(ny * nz))
+    rng = np.random.default_rng(9)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    pr = f32(rng.standard_normal((nx, ny, nz)))
+    dpr = np.zeros((nx, ny, nz))
+    dpr[1:-1, 1:-1, 1:-1] = rng.standard_normal((nx - 2, ny - 2, nz - 2))
+    dpr = f32(dpr)
+    rhs = f32(rng.standard_normal((nx, ny, nz)))
+    it, pack, unpack = build_poisson_iter(
+        nx, ny, nz, 0.1, 0.1, 0.1, dtau=0.01, damp=0.9, bc=bc,
+        dtype=jnp.float32, slab=5, interpret=True, mode="blocked",
+        folded=True, mrows=2, lane_tiles=3, sweep_depth=4)
+    assert s in it.sweep_fns
+    pp, df, rf = pack(pr, dpr, rhs)
+    cA = (pp, df)
+    for i in range(s):
+        oA = it(*cA, rf, do_chk=1 if i == s - 1 else 0)
+        cA = oA[:2]
+    oB = it.sweep_fns[s](pp, df, rf, do_chk=1)
+
+    def close(a, b, msg):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0,
+                                   atol=2e-6, err_msg=msg)
+
+    close(cA[0], oB[0], "pr")
+    close(cA[1], oB[1], "dpr")
+    np.testing.assert_array_equal(np.asarray(oA[2]), np.asarray(oB[2]),
+                                  err_msg="emitted residual")
+
+
+def test_solver_lane_tiled_solve_equivalence(monkeypatch):
+    """Full solver Poisson solve with the lane-tiled kernel (nx=21,
+    NS3D_LANE_TILES=3) vs the untiled default, twice:
+
+    - sweeps OFF on both sides: the tiled kernel's data routing is
+      bit-identical to the untiled kernel (the interpret-mode test
+      above proves it), so the compiled solves must agree to the
+      per-program rounding standard (atol 5e-6, as in the sweep2 test).
+    - tiled default (temporal s-sweep bodies ON) vs untiled default:
+      iteration counts must still match EXACTLY — the s-sweep emits the
+      same entering-iteration residual — but the s-sweep reorders every
+      iteration's FMA contractions, and near-unity damped-Jacobi
+      contraction amplifies per-iteration ulp noise by ~1/(1-rho) over
+      the ~200-iteration solve (measured 1.3e-4 here). Both states are
+      converged below eps, so the principled bound on their difference
+      is the convergence tolerance, not ulp."""
+    outs = {}
+    for tiles, sweeps in ((None, False), ("3", False), ("3", True)):
+        if tiles:
+            monkeypatch.setenv("NS3D_LANE_TILES", tiles)
+        else:
+            monkeypatch.delenv("NS3D_LANE_TILES", raising=False)
+        monkeypatch.setenv("NS3D_SWEEP2", "1" if sweeps else "0")
+        cfg = ns.preset_gpu(nx=21, nt=1, compat=False, dtype="float32",
+                            use_pallas=True)
+        s = ns.ChorinSolver(cfg)
+        assert s._pallas is not None
+        it = s._pallas[0]
+        if tiles:
+            assert it.lane_tiles == 3
+            budget = s.grid.niter - s.grid.niter % s.grid.nchk
+            assert (s._sweep_plan(it, budget) is not None) == sweeps
+        st = s.init_state()
+        divv = jax.jit(s.predictor_divv)(st)
+        pr, dpr, stats = jax.jit(s.poisson_solve)(st.pr, st.dprdtau, divv)
+        outs[(tiles, sweeps)] = (pr, int(stats.iters),
+                                 int(stats.iters_ext or 0),
+                                 float(stats.err))
+
+    def compare(key_a, key_b, atol):
+        pr1, it1, ext1, e1 = outs[key_a]
+        pr0, it0, ext0, e0 = outs[key_b]
+        assert (it1, ext1) == (it0, ext0)
+        assert abs(e1 - e0) <= 1e-2 * max(abs(e0), 1e-30)
+        a, b = np.asarray(pr1), np.asarray(pr0)
+        scale = max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0,
+                                   atol=atol, err_msg="pr")
+
+    compare(("3", False), (None, False), 5e-6)   # routing only
+    compare(("3", True), (None, False), 5e-4)    # + sweep re-rounding
