@@ -94,7 +94,12 @@ def log(msg):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nx", type=int, default=255)
+    ap.add_argument("--preset", choices=("gpu", "multi"), default="gpu",
+                    help="config preset: 'gpu' is the showcase cylinder "
+                         "flow (the headline bench); 'multi' is the "
+                         "multi-script's setup (reference nx=63 default)")
+    ap.add_argument("--nx", type=int, default=None,
+                    help="default: 255 (gpu preset) / 63 (multi)")
     # 8 timed steps: with the tunnel's ~10% cross-process variance a
     # 3-step window was the minimum credible record; 8 thickens it
     # while staying ~3 s of timed work at the 255 grid
@@ -102,8 +107,11 @@ def main():
     ap.add_argument("--dtype", default="float32")
     args = ap.parse_args()
 
-    cfg = ns.preset_gpu(nx=args.nx, nt=args.steps, compat=False,
-                        dtype=args.dtype)
+    if args.nx is None:
+        args.nx = 255 if args.preset == "gpu" else 63
+    make = ns.preset_gpu if args.preset == "gpu" else ns.preset_multi
+    cfg = make(nx=args.nx, nt=args.steps, compat=False,
+               dtype=args.dtype)
     solver = ns.ChorinSolver(cfg)
     g = solver.grid
     log(f"grid {g.nx}x{g.ny}x{g.nz} dtype={args.dtype} "

@@ -377,37 +377,29 @@ def build_advect_branch_flat(lay, n1: int, n2: int, n3: int, dt: float,
         return (jnp.where(o1 == o, one - t, zero)
                 + jnp.where(o2 == o, t, zero))
 
-    def kernel(a_lo, a_mid, a_hi, vxl, vxm, vxh, vyl, vym, vyh,
-               vzl, vzm, vzh, iy_r, iz_r, wm_r, out_ref, ncl_ref):
-        sidx = pl.program_id(0)
-
+    def body(sidx, a_ext, vxe, vye, vze, iy, iz, wm, Wc):
+        """The accumulation math on lane windows of width Wc — shared by
+        the untiled (Wc=W, cyclic) and lane-tiled (Wc=CW, halo-fed)
+        kernels (see fused_step.build_predict.body). Reach from a
+        center output lane: raw-field sampling <= P*(NZ+1) lanes plus
+        the face-average's NZ+1 for the WEIGHTS — both within the
+        layout's halo_k = max(3, k+1) guarantee."""
         def L(a, d):
-            return pltpu.roll(a, W - d, 1)
+            return pltpu.roll(a, Wc - d, 1)
 
         def R(a, d):
             return pltpu.roll(a, d, 1)
 
-        def ext1(lo, mid, hi):
-            return jnp.concatenate([lo[B - 1:, :], mid[:, :], hi[:1, :]], 0)
-
-        vxe = ext1(vxl, vxm, vxh)
-        vye = ext1(vyl, vym, vyh)
-        vze = ext1(vzl, vzm, vzh)
         vxc, vyc, vzc = make_adv(vxe, vye, vze, L, R)
-
-        a_ext = jnp.concatenate(
-            [a_lo[B - P:, :], a_mid[:, :], a_hi[:k, :]], axis=0)
         gx = (sidx * B
               + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0))
         idx_x = gx.astype(jdtype) + 1.0
-        iy = iy_r[0:1, :]
-        iz = iz_r[0:1, :]
 
         ox1, ox2, tx, cx = axis_terms(vxc, dxs[0], idx_x, n1)
         oy1, oy2, ty, cy = axis_terms(vyc, dxs[1], iy, n2)
         oz1, oz2, tz, cz = axis_terms(vzc, dxs[2], iz, n3)
 
-        wmask = ((wm_r[0:1, :] != 0) & (gx >= wr0) & (gx <= wr1))
+        wmask = ((wm != 0) & (gx >= wr0) & (gx <= wr1))
         clamped = (cx | cy | cz) & wmask
         ncount = jnp.sum(clamped.astype(jnp.int32))
 
@@ -415,18 +407,32 @@ def build_advect_branch_flat(lay, n1: int, n2: int, n3: int, dt: float,
 
         # identical accumulation structure to build_advect_branch, with
         # the COMMON lane stride (nz+1) in the per-(p,q) roll distance
-        acc = jnp.zeros((B, W), jdtype)
+        acc = jnp.zeros((B, Wc), jdtype)
         for p_off in offs:
             wy = weight(oy1, oy2, ty, p_off)
             for q_off in offs:
                 wz = weight(oz1, oz2, tz, q_off)
                 wyz = wy * wz
-                d = (p_off * NZ + q_off) % W
-                r = a_ext if d == 0 else pltpu.roll(a_ext, W - d, 1)
+                d = (p_off * NZ + q_off) % Wc
+                r = a_ext if d == 0 else pltpu.roll(a_ext, Wc - d, 1)
                 for io, o_off in enumerate(offs):
                     sl = r[P + o_off:P + o_off + B, :]
                     acc = acc + (wxs[io] * wyz) * sl
-        out_ref[:, :] = jnp.where(wmask, acc, a_mid[:, :])
+        return jnp.where(wmask, acc, a_ext[P:P + B, :]), ncount
+
+    def kernel(a_lo, a_mid, a_hi, vxl, vxm, vxh, vyl, vym, vyh,
+               vzl, vzm, vzh, iy_r, iz_r, wm_r, out_ref, ncl_ref):
+        sidx = pl.program_id(0)
+
+        def ext1(lo, mid, hi):
+            return jnp.concatenate([lo[B - 1:, :], mid[:, :], hi[:1, :]], 0)
+
+        a_ext = jnp.concatenate(
+            [a_lo[B - P:, :], a_mid[:, :], a_hi[:k, :]], axis=0)
+        out, ncount = body(sidx, a_ext, ext1(vxl, vxm, vxh),
+                           ext1(vyl, vym, vyh), ext1(vzl, vzm, vzh),
+                           iy_r[0:1, :], iz_r[0:1, :], wm_r[0:1, :], W)
+        out_ref[:, :] = out
 
         @pl.when(sidx == 0)
         def _():
@@ -436,7 +442,39 @@ def build_advect_branch_flat(lay, n1: int, n2: int, n3: int, dt: float,
         def _():
             ncl_ref[0, 0] = ncl_ref[0, 0] + ncount
 
-    from .fused_step import _lane_row, _row_block
+    def kernel_t(*refs):
+        # lane-tiled: a(9), vx(9), vy(9), vz(9), iy, iz, wm + outs
+        sidx = pl.program_id(1)
+        first = (pl.program_id(0) == 0) & (sidx == 0)
+        HW, WT, CW = lay.HW, lay.WT, lay.CW
+        cat = _make_cat(3)
+        ag = refs[0:9]
+        vg = [refs[9 * i:9 * (i + 1)] for i in range(1, 4)]
+        iy_r, iz_r, wm_r = refs[36], refs[37], refs[38]
+        out_ref, ncl_ref = refs[39:]
+
+        def ext1_cat(g):
+            return jnp.concatenate([cat(g, 0)[B - 1:, :], cat(g, 1)[:, :],
+                                    cat(g, 2)[:1, :]], 0)
+
+        a_ext = jnp.concatenate(
+            [cat(ag, 0)[B - P:, :], cat(ag, 1)[:, :],
+             cat(ag, 2)[:k, :]], axis=0)
+        out, ncount = body(sidx, a_ext, ext1_cat(vg[0]), ext1_cat(vg[1]),
+                           ext1_cat(vg[2]), iy_r[0:1, :], iz_r[0:1, :],
+                           wm_r[0:1, :], CW)
+        out_ref[:, :] = out[:, HW:HW + WT]
+
+        @pl.when(first)
+        def _():
+            ncl_ref[0, 0] = ncount
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            ncl_ref[0, 0] = ncl_ref[0, 0] + ncount
+
+    from .fused_step import (_lane_row, _lane_row_t, _make_cat,
+                             _row_block, _row_block_t, _tiled_specs)
 
     def row_block(off):
         return _row_block(B, W, S, off)
@@ -460,24 +498,57 @@ def build_advect_branch_flat(lay, n1: int, n2: int, n3: int, dt: float,
 
     flat_shape = jax.ShapeDtypeStruct((lay.NXP, W), jdtype)
     ncl_shape = jax.ShapeDtypeStruct((1, 1), jnp.int32)
-    ncl_block = pl.BlockSpec((1, 1), (lambda s: (0, 0)),
-                             memory_space=pltpu.SMEM)
 
-    call = pl.pallas_call(
-        kernel,
-        grid=(S,),
-        out_shape=(flat_shape, ncl_shape),
-        in_specs=[row_block(-1), row_block(0), row_block(1)] * 4
-                 + [lane_row, lane_row, lane_row],
-        out_specs=(row_block(0), ncl_block),
-        compiler_params=compiler_params,
-        cost_estimate=cost,
-        interpret=interpret,
-    )
+    if lay.T > 1:
+        # halo-extended lane constants: index rows get neighbor copies
+        # (weights on halo lanes feed center outputs via the rolls);
+        # the write mask gets ZERO halos so ncl counts each real lane
+        # exactly once across tiles
+        rows_ct = (jnp.asarray(lay.ext_lane(idx_y.reshape(1, W))),
+                   jnp.asarray(lay.ext_lane(idx_z.reshape(1, W))),
+                   jnp.asarray(lay.ext_lane(
+                       wmask.reshape(1, W).astype(np.int32),
+                       halo_fill="zero")))
+        ncl_block = pl.BlockSpec((1, 1), (lambda t, s: (0, 0)),
+                                 memory_space=pltpu.SMEM)
+        live_t = (2 * 12 * B * (lay.WT + 2 * lay.HW)
+                  + live_rows * lay.CW)
+        call = pl.pallas_call(
+            kernel_t,
+            grid=(lay.T, S),
+            out_shape=(flat_shape, ncl_shape),
+            in_specs=(_tiled_specs(lay, (-1, 0, 1)) * 4
+                      + [_lane_row_t(lay)] * 3),
+            out_specs=(_row_block_t(lay, 0), ncl_block),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(min(live_t * itemsize
+                                         + 12 * 2 ** 20,
+                                         120 * 2 ** 20))),
+            cost_estimate=cost,
+            interpret=interpret,
+        )
 
-    def run(a_f, vx_f, vy_f, vz_f):
-        return call(a_f, a_f, a_f, vx_f, vx_f, vx_f, vy_f, vy_f, vy_f,
-                    vz_f, vz_f, vz_f, *rows_c)
+        def run(a_f, vx_f, vy_f, vz_f):
+            return call(*([a_f] * 9), *([vx_f] * 9), *([vy_f] * 9),
+                        *([vz_f] * 9), *rows_ct)
+    else:
+        ncl_block = pl.BlockSpec((1, 1), (lambda s: (0, 0)),
+                                 memory_space=pltpu.SMEM)
+        call = pl.pallas_call(
+            kernel,
+            grid=(S,),
+            out_shape=(flat_shape, ncl_shape),
+            in_specs=[row_block(-1), row_block(0), row_block(1)] * 4
+                     + [lane_row, lane_row, lane_row],
+            out_specs=(row_block(0), ncl_block),
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )
+
+        def run(a_f, vx_f, vy_f, vz_f):
+            return call(a_f, a_f, a_f, vx_f, vx_f, vx_f, vy_f, vy_f,
+                        vy_f, vz_f, vz_f, vz_f, *rows_c)
 
     return run
 
@@ -560,19 +631,26 @@ def build_advect_flat(nx: int, ny: int, nz: int, dt: float, dx: float,
 
 def advect_kernel_vmem_bytes(nx: int, ny: int, nz: int, k: int,
                              B: int = 8, flat: bool = True,
-                             dtype=jnp.float32) -> int:
+                             dtype=jnp.float32, layout=None) -> int:
     """Estimated scoped-VMEM requirement of one advection branch kernel
     (the same live-set formulas the builders pass as compiler limits).
     Callers gate kernel construction on this: at large lane widths (the
     255-grid's W is 23.8k lanes; a 511 grid's is 95k) the ~60-plane
     accumulation working set exceeds the 128MB VMEM and Mosaic refuses
-    the program — the jnp backend serves those sizes."""
+    the program — those sizes run LANE-TILED (pass the tiled layout;
+    the window width CW replaces W in the live-set formula), falling
+    back to the jnp backend only when even tiling can't fit."""
     P = k + 1
     if flat:
         nyzp = (ny + 1) * (nz + 1)
         W = ((nyzp + 127) // 128) * 128
         live_rows = (4 * (B + P + k) + 3 * (B + 2)
                      + (2 * k + 2) * B + 60 * B)
+        if layout is not None and layout.T > 1:
+            itemsize = np.dtype(dtype).itemsize
+            live_t = (2 * 12 * B * (layout.WT + 2 * layout.HW)
+                      + live_rows * layout.CW)
+            return int(live_t * itemsize + 12 * 2 ** 20)
     else:
         nyz = ny * nz
         W = ((nyz + 127) // 128) * 128

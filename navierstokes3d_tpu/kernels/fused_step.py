@@ -67,21 +67,84 @@ def _f(x, dtype):
 
 class CommonLayout:
     """The shared flat layout: rows = x, lanes = y*(nz+1) + z with all
-    fields zero-padded to (ny+1, nz+1) y/z planes."""
+    fields zero-padded to (ny+1, nz+1) y/z planes.
+
+    Lane tiling (wide grids): at 511-class widths (~95k lanes) the
+    whole-row working sets of the fused kernels exceed VMEM (predict
+    measured ~166MB needed at W=95104). With lane_tiles=T > 1 the lane
+    axis splits into T tiles of WT lanes; kernels run a 2D (tile,
+    x-slab) grid where each tile fetches HW-lane halo blocks from its
+    neighbors, so every cross-lane roll chain stays inside the
+    (WT + 2*HW)-lane VMEM window — the same scheme as the lane-tiled
+    Poisson kernel (kernels/poisson.py). halo_k sizes HW as
+    halo_k*(NZ+1) lanes rounded up to 128: the longest chained roll
+    reach of any consumer kernel in (NZ+1) units — 3 for the predict
+    chain (stress -> predictor -> divergence), k+1 for the advection
+    accumulation window (see the reach accounting in build_predict).
+    Data stays one contiguous (NXP, W=T*WT) array in HBM; tiles and
+    halos are BlockSpec views, not a relayout."""
 
     def __init__(self, nx: int, ny: int, nz: int, B: int = 8,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, lane_tiles: int = None,
+                 halo_k: int = 3):
         self.nx, self.ny, self.nz = nx, ny, nz
         self.NY, self.NZ = ny + 1, nz + 1
         self.nyzp = self.NY * self.NZ
-        self.W = ((self.nyzp + 127) // 128) * 128
+        base_w = ((self.nyzp + 127) // 128) * 128
+        T = int(lane_tiles) if lane_tiles else 1
+        HW = ((halo_k * (self.NZ + 1) + 127) // 128) * 128
+        if T > 1:
+            WT = -(-self.nyzp // (T * HW)) * HW
+            if WT < HW:
+                T = 1  # degenerate: halos would span whole tiles
+        if T > 1:
+            self.W = T * WT
+            self.T, self.WT, self.HW = T, WT, HW
+            self.CW = WT + 2 * HW
+            self.Q = WT // HW  # halo blocks per tile
+        else:
+            self.W = base_w
+            self.T, self.WT, self.HW = 1, base_w, 0
+            self.CW = base_w
+            self.Q = 0
+        self.halo_k = halo_k
         self.B = B
         self.NXP = ((nx + 1 + B - 1) // B) * B
         self.S = self.NXP // B
         self.dtype = jnp.dtype(dtype)
         j = np.arange(self.W, dtype=np.int32)
-        self.iy_row = jnp.asarray((j // self.NZ).reshape(1, self.W))
-        self.iz_row = jnp.asarray((j % self.NZ).reshape(1, self.W))
+        iy = (j // self.NZ).reshape(1, self.W)
+        iz = (j % self.NZ).reshape(1, self.W)
+        self.iy_row = jnp.asarray(iy)
+        self.iz_row = jnp.asarray(iz)
+        if self.T > 1:
+            # halo-extended per-tile forms of the index rows: kernels
+            # computing intermediate values on halo lanes need the TRUE
+            # lane coordinates there (copies), zero-filled only beyond
+            # the global edges where every consumer is masked
+            self.iy_ext = jnp.asarray(self.ext_lane(iy))
+            self.iz_ext = jnp.asarray(self.ext_lane(iz))
+
+    def ext_lane(self, a, halo_fill: str = "copy"):
+        """(1, W) numpy lane constant -> (1, T*CW): per tile the WT
+        center lanes plus both HW halos. halo_fill='copy' takes the
+        neighboring tiles' real values (for constants consumed at halo
+        lanes); 'zero' leaves halos zero (for write masks, which must
+        count every real lane exactly once across tiles)."""
+        a = np.asarray(a).reshape(1, self.W)
+        out = np.zeros((1, self.T * self.CW), a.dtype)
+        for t in range(self.T):
+            if halo_fill == "copy":
+                lo = t * self.WT - self.HW
+                s0 = max(lo, 0)
+                s1 = min(t * self.WT + self.WT + self.HW, self.W)
+                out[0, t * self.CW + (s0 - lo):t * self.CW + (s0 - lo)
+                    + (s1 - s0)] = a[0, s0:s1]
+            else:
+                out[0, t * self.CW + self.HW:
+                    t * self.CW + self.HW + self.WT] = (
+                    a[0, t * self.WT:t * self.WT + self.WT])
+        return out
 
     def flat(self, a):
         n1, n2, n3 = a.shape
@@ -125,6 +188,59 @@ def _lane_row(W):
     return pl.BlockSpec((1, W), (lambda s: (0, 0)), memory_space=pltpu.VMEM)
 
 
+# ---- lane-tiled grid helpers (grid = (T, S), x-step innermost) ----
+
+def _row_block_t(lay, off):
+    """Center block: (B, WT) lanes of tile t, x-slab s+off."""
+    S = lay.S
+    return pl.BlockSpec(
+        (lay.B, lay.WT),
+        (lambda t, s, _o=off: (jnp.clip(s + _o, 0, S - 1), t)),
+        memory_space=pltpu.VMEM)
+
+
+def _halo_block_t(lay, off, side):
+    """Halo block: the (B, HW) lane block adjacent to tile t on `side`
+    (0 = left neighbor's last block, 1 = right neighbor's first).
+    Out-of-range indices clip — edge tiles read in-range garbage there,
+    consumed only by lanes the kernels mask out (the same invariant
+    that covers cyclic-roll wraparound in the untiled kernels)."""
+    S, Q = lay.S, lay.Q
+    TQ = lay.T * Q
+    d = -1 if side == 0 else Q
+    return pl.BlockSpec(
+        (lay.B, lay.HW),
+        (lambda t, s, _o=off, _d=d: (jnp.clip(s + _o, 0, S - 1),
+                                     jnp.clip(t * Q + _d, 0, TQ - 1))),
+        memory_space=pltpu.VMEM)
+
+
+def _lane_row_t(lay):
+    """Per-tile (1, CW) block of a (1, T*CW) halo-extended constant."""
+    return pl.BlockSpec((1, lay.CW), (lambda t, s: (0, t)),
+                        memory_space=pltpu.VMEM)
+
+
+def _tiled_specs(lay, offs):
+    """BlockSpecs for ONE input array read at row offsets `offs`:
+    centers first, then left halos, then right halos (the kernel's
+    `_cat` helper re-zips them)."""
+    return ([_row_block_t(lay, o) for o in offs]
+            + [_halo_block_t(lay, o, 0) for o in offs]
+            + [_halo_block_t(lay, o, 1) for o in offs])
+
+
+def _make_cat(n_off):
+    """In-kernel: zip one array's (centers, lhalos, rhalos) ref groups
+    into lane-concatenated (B, CW) windows per row offset."""
+    def cat(refs, i):
+        c = refs[i]
+        l = refs[n_off + i]
+        r = refs[2 * n_off + i]
+        return jnp.concatenate([l[:, :], c[:, :], r[:, :]], axis=1)
+    return cat
+
+
 def build_predict(nx: int, ny: int, nz: int, *, dt: float, dx: float,
                   dy: float, dz: float, mu: float, rho: float, g_eff: float,
                   masks, B: int = 8, dtype=jnp.float32,
@@ -151,28 +267,23 @@ def build_predict(nx: int, ny: int, nz: int, *, dt: float, dx: float,
     rg = _f(rho * g_eff, jdt)
     mbits = mask_bits if mask_bits is not None else lay.packed_masks(masks)
 
-    def L(a, d):
-        """Lane view at (y,z) offset +d (sample lane j+d)."""
-        return pltpu.roll(a, W - d, 1)
-
-    def R(a, d):
-        """Lane view at (y,z) offset -d (sample lane j-d)."""
-        return pltpu.roll(a, d, 1)
-
-    def kernel(vxl, vxm, vxh, vyl, vym, vyh, vzl, vzm, vzh, mskm, mskh,
-               iy_r, iz_r, vxo, vyo, vzo, dvo):
-        s = pl.program_id(0)
+    def body(s, vxe, vye, vze, mske, iy, iz, Wc):
+        """The fused predict math on (B+4, Wc) row-extended windows —
+        lane-width-agnostic so the untiled (Wc=W, cyclic rolls) and
+        lane-tiled (Wc=CW, halo-fed concat window) kernels share one
+        expression tree bit-for-bit. Chained roll-reach from a center
+        output lane: divergence (+NZ) <- predictor (+-(NZ+1)) <- stress
+        (+-(NZ+1)) = 3*NZ+2 lanes <= halo_k=3 units of (NZ+1), the
+        CommonLayout halo guarantee."""
         zero = jnp.zeros((), jdt)
-        iy = iy_r[0:1, :]
-        iz = iz_r[0:1, :]
 
-        def ext(lo, mid, hi):
-            # rows [s*B - 2, s*B + B + 2); out-of-range rows hold
-            # neighbor-block copies, consumed only by masked-out outputs
-            return jnp.concatenate([lo[B - 2:, :], mid[:, :], hi[:2, :]], 0)
+        def L(a, d):
+            """Lane view at (y,z) offset +d (sample lane j+d)."""
+            return pltpu.roll(a, Wc - d, 1)
 
-        vxe, vye, vze = (ext(vxl, vxm, vxh), ext(vyl, vym, vyh),
-                         ext(vzl, vzm, vzh))
+        def R(a, d):
+            """Lane view at (y,z) offset -d (sample lane j-d)."""
+            return pltpu.roll(a, d, 1)
 
         # ---- centers slab, rows [s*B - 1, s*B + B + 1): stress normals.
         # Mirrors update_tau (ops/physics.py:39-45) term-for-term.
@@ -211,7 +322,6 @@ def build_predict(nx: int, ny: int, nz: int, *, dt: float, dx: float,
                  & (iy >= 1) & (iy <= ny - 2)
                  & (iz >= 1) & (iz <= nz - 2))
         vxs = vxe[2:B + 3, :] + jnp.where(maskx, dtrho * fx, zero)
-        mske = jnp.concatenate([mskm[:, :], mskh[:1, :]], 0)
         vxs = jnp.where((mske & 2) != 0, zero, vxs)
 
         gx = gxe[:B, :]
@@ -224,8 +334,8 @@ def build_predict(nx: int, ny: int, nz: int, *, dt: float, dx: float,
         masky = ((gx >= 1) & (gx <= nx - 2)
                  & (iy >= 1) & (iy <= ny - 1)
                  & (iz >= 1) & (iz <= nz - 2))
-        vys = vym[:, :] + jnp.where(masky, dtrho * fy, zero)
-        vys = jnp.where((mskm[:, :] & 4) != 0, zero, vys)
+        vys = vye[2:B + 2, :] + jnp.where(masky, dtrho * fy, zero)
+        vys = jnp.where((mske[:B, :] & 4) != 0, zero, vys)
 
         tzz_r = tzz[1:B + 1, :]
         txz_r, txz_m = txz[1:B + 1, :], txz[0:B, :]
@@ -236,18 +346,55 @@ def build_predict(nx: int, ny: int, nz: int, *, dt: float, dx: float,
         maskz = ((gx >= 1) & (gx <= nx - 2)
                  & (iy >= 1) & (iy <= ny - 2)
                  & (iz >= 1) & (iz <= nz - 1))
-        vzs = vzm[:, :] + jnp.where(maskz, dtrho * fz, zero)
-        vzs = jnp.where((mskm[:, :] & 8) != 0, zero, vzs)
+        vzs = vze[2:B + 2, :] + jnp.where(maskz, dtrho * fz, zero)
+        vzs = jnp.where((mske[:B, :] & 8) != 0, zero, vzs)
 
         # ---- divergence of the masked predictor (ops/stencil.py:111)
         dv = ((vxs[1:B + 1, :] - vxs[0:B, :]) / dxc
               + (L(vys, NZ) - vys) / dyc
               + (L(vzs, 1) - vzs) / dzc)
         mask_dv = (gx <= nx - 1) & (iy <= ny - 1) & (iz <= nz - 1)
-        dvo[:, :] = jnp.where(mask_dv, dv, zero)
-        vxo[:, :] = vxs[0:B, :]
-        vyo[:, :] = vys
-        vzo[:, :] = vzs
+        return (vxs[0:B, :], vys, vzs, jnp.where(mask_dv, dv, zero))
+
+    def kernel(vxl, vxm, vxh, vyl, vym, vyh, vzl, vzm, vzh, mskm, mskh,
+               iy_r, iz_r, vxo, vyo, vzo, dvo):
+        s = pl.program_id(0)
+
+        def ext(lo, mid, hi):
+            # rows [s*B - 2, s*B + B + 2); out-of-range rows hold
+            # neighbor-block copies, consumed only by masked-out outputs
+            return jnp.concatenate([lo[B - 2:, :], mid[:, :], hi[:2, :]], 0)
+
+        mske = jnp.concatenate([mskm[:, :], mskh[:1, :]], 0)
+        vxo[:, :], vyo[:, :], vzo[:, :], dvo[:, :] = body(
+            s, ext(vxl, vxm, vxh), ext(vyl, vym, vyh),
+            ext(vzl, vzm, vzh), mske, iy_r[0:1, :], iz_r[0:1, :], W)
+
+    def kernel_t(*refs):
+        # lane-tiled: refs = vx(9), vy(9), vz(9), msk(6), iy, iz + outs
+        s = pl.program_id(1)
+        HW, WT, CW = lay.HW, lay.WT, lay.CW
+        cat = _make_cat(3)
+        vx9, vy9, vz9 = refs[0:9], refs[9:18], refs[18:27]
+        msk6 = refs[27:33]
+        iy_r, iz_r = refs[33], refs[34]
+        vxo, vyo, vzo, dvo = refs[35:]
+
+        def ext_cat(g):
+            lo, mid, hi = cat(g, 0), cat(g, 1), cat(g, 2)
+            return jnp.concatenate([lo[B - 2:, :], mid[:, :],
+                                    hi[:2, :]], 0)
+
+        cm = _make_cat(2)
+        mske = jnp.concatenate([cm(msk6, 0)[:, :], cm(msk6, 1)[:1, :]], 0)
+        vxw, vyw, vzw, dvw = body(
+            s, ext_cat(vx9), ext_cat(vy9), ext_cat(vz9), mske,
+            iy_r[0:1, :], iz_r[0:1, :], CW)
+        ctr = slice(HW, HW + WT)
+        vxo[:, :] = vxw[:, ctr]
+        vyo[:, :] = vyw[:, ctr]
+        vzo[:, :] = vzw[:, ctr]
+        dvo[:, :] = dvw[:, ctr]
 
     itemsize = np.dtype(jdt).itemsize
     cost = pl.CostEstimate(
@@ -256,24 +403,47 @@ def build_predict(nx: int, ny: int, nz: int, *, dt: float, dx: float,
         transcendentals=0)
     out_shape = tuple(jax.ShapeDtypeStruct((lay.NXP, W), jdt)
                       for _ in range(4))
-    rb = lambda off: _row_block(B, W, S, off)  # noqa: E731
-    call = pl.pallas_call(
-        kernel,
-        grid=(S,),
-        out_shape=out_shape,
-        in_specs=[rb(-1), rb(0), rb(1), rb(-1), rb(0), rb(1),
-                  rb(-1), rb(0), rb(1), rb(0), rb(1),
-                  _lane_row(W), _lane_row(W)],
-        out_specs=tuple(rb(0) for _ in range(4)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2 ** 20),
-        cost_estimate=cost,
-        interpret=interpret,
-    )
+    if lay.T > 1:
+        # ~30 (B+4, CW)-class temporaries + double-buffered IO blocks
+        live = (2 * 13 * B * (lay.WT + 2 * lay.HW)
+                + 34 * (B + 4) * lay.CW)
+        call = pl.pallas_call(
+            kernel_t,
+            grid=(lay.T, S),
+            out_shape=out_shape,
+            in_specs=(_tiled_specs(lay, (-1, 0, 1)) * 3
+                      + _tiled_specs(lay, (0, 1))
+                      + [_lane_row_t(lay), _lane_row_t(lay)]),
+            out_specs=tuple(_row_block_t(lay, 0) for _ in range(4)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(min(live * itemsize + 2 ** 22,
+                                         110 * 2 ** 20))),
+            cost_estimate=cost,
+            interpret=interpret,
+        )
 
-    def run_flat(vxf, vyf, vzf):
-        return call(vxf, vxf, vxf, vyf, vyf, vyf, vzf, vzf, vzf,
-                    mbits, mbits, lay.iy_row, lay.iz_row)
+        def run_flat(vxf, vyf, vzf):
+            return call(*([vxf] * 9), *([vyf] * 9), *([vzf] * 9),
+                        *([mbits] * 6), lay.iy_ext, lay.iz_ext)
+    else:
+        rb = lambda off: _row_block(B, W, S, off)  # noqa: E731
+        call = pl.pallas_call(
+            kernel,
+            grid=(S,),
+            out_shape=out_shape,
+            in_specs=[rb(-1), rb(0), rb(1), rb(-1), rb(0), rb(1),
+                      rb(-1), rb(0), rb(1), rb(0), rb(1),
+                      _lane_row(W), _lane_row(W)],
+            out_specs=tuple(rb(0) for _ in range(4)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2 ** 20),
+            cost_estimate=cost,
+            interpret=interpret,
+        )
+
+        def run_flat(vxf, vyf, vzf):
+            return call(vxf, vxf, vxf, vyf, vyf, vyf, vzf, vzf, vzf,
+                        mbits, mbits, lay.iy_row, lay.iz_row)
 
     def predict_fn(vx, vy, vz) -> Tuple:
         vxf, vyf, vzf, dvf = run_flat(lay.flat(vx), lay.flat(vy),
@@ -317,28 +487,19 @@ def build_correct(nx: int, ny: int, nz: int, *, dt: float, dx: float,
     vin_c = _f(vin, jdt)
     mbits = mask_bits if mask_bits is not None else lay.packed_masks(masks)
 
-    def L(a, d):
-        return pltpu.roll(a, W - d, 1)
-
-    def R(a, d):
-        return pltpu.roll(a, d, 1)
-
-    def kernel(prl, prm, prh, vxl, vxm, vxh, vyl, vym, vyh, vzl, vzm, vzh,
-               mskl, mskm, mskh, iy_r, iz_r, vxo, vyo, vzo):
-        s = pl.program_id(0)
+    def body(s, pre, vxe, vye, vze, mske, iy, iz, Wc):
+        """The fused correct+BC math on (B+4, Wc) windows — lane-width-
+        agnostic (see build_predict.body). Chained roll-reach from a
+        center output lane: BC neighbor copy (+-NZ or +-1) <- pressure
+        gradient (+-NZ) = 2*NZ+1 lanes <= the halo_k=3 guarantee."""
         zero = jnp.zeros((), jdt)
-        iy = iy_r[0:1, :]
-        iz = iz_r[0:1, :]
 
-        def ext(lo, mid, hi):
-            return jnp.concatenate([lo[B - 2:, :], mid[:, :], hi[:2, :]], 0)
+        def L(a, d):
+            return pltpu.roll(a, Wc - d, 1)
 
-        pre = ext(prl, prm, prh)            # rows [s*B-2, s*B+B+2)
-        vxe = ext(vxl, vxm, vxh)
-        vye = ext(vyl, vym, vyh)
-        vze = ext(vzl, vzm, vzh)
-        mske = jnp.concatenate([mskl[B - 1:, :], mskm[:, :],
-                                mskh[:1, :]], 0)  # rows [s*B-1, s*B+B]
+        def R(a, d):
+            return pltpu.roll(a, d, 1)
+
         # corrected+masked fields on rows [s*B - 1, s*B + B + 1)
         gxe = (s * B - 1
                + jax.lax.broadcasted_iota(jnp.int32, (B + 2, 1), 0))
@@ -387,9 +548,46 @@ def build_correct(nx: int, ny: int, nz: int, *, dt: float, dx: float,
         vx_b = bc(vxs, nx + 1, ny, nz)
         if variant == "multi":
             vx_b = jnp.where(gx == 0, vin_c, vx_b)   # inlet plane
-        vxo[:, :] = vx_b
-        vyo[:, :] = bc(vys, nx, ny + 1, nz)
-        vzo[:, :] = bc(vzs, nx, ny, nz + 1)
+        return vx_b, bc(vys, nx, ny + 1, nz), bc(vzs, nx, ny, nz + 1)
+
+    def kernel(prl, prm, prh, vxl, vxm, vxh, vyl, vym, vyh, vzl, vzm, vzh,
+               mskl, mskm, mskh, iy_r, iz_r, vxo, vyo, vzo):
+        s = pl.program_id(0)
+
+        def ext(lo, mid, hi):
+            return jnp.concatenate([lo[B - 2:, :], mid[:, :], hi[:2, :]], 0)
+
+        mske = jnp.concatenate([mskl[B - 1:, :], mskm[:, :],
+                                mskh[:1, :]], 0)  # rows [s*B-1, s*B+B]
+        vxo[:, :], vyo[:, :], vzo[:, :] = body(
+            s, ext(prl, prm, prh), ext(vxl, vxm, vxh),
+            ext(vyl, vym, vyh), ext(vzl, vzm, vzh), mske,
+            iy_r[0:1, :], iz_r[0:1, :], W)
+
+    def kernel_t(*refs):
+        # lane-tiled: pr(9), vx(9), vy(9), vz(9), msk(9), iy, iz + outs
+        s = pl.program_id(1)
+        HW, WT, CW = lay.HW, lay.WT, lay.CW
+        cat = _make_cat(3)
+        groups = [refs[9 * i:9 * (i + 1)] for i in range(5)]
+        iy_r, iz_r = refs[45], refs[46]
+        vxo, vyo, vzo = refs[47:]
+
+        def ext_cat(g):
+            return jnp.concatenate([cat(g, 0)[B - 2:, :], cat(g, 1)[:, :],
+                                    cat(g, 2)[:2, :]], 0)
+
+        pre, vxe, vye, vze = (ext_cat(groups[0]), ext_cat(groups[1]),
+                              ext_cat(groups[2]), ext_cat(groups[3]))
+        mg = groups[4]
+        mske = jnp.concatenate([cat(mg, 0)[B - 1:, :], cat(mg, 1)[:, :],
+                                cat(mg, 2)[:1, :]], 0)
+        vxw, vyw, vzw = body(s, pre, vxe, vye, vze, mske,
+                             iy_r[0:1, :], iz_r[0:1, :], CW)
+        ctr = slice(HW, HW + WT)
+        vxo[:, :] = vxw[:, ctr]
+        vyo[:, :] = vyw[:, ctr]
+        vzo[:, :] = vzw[:, ctr]
 
     itemsize = np.dtype(jdt).itemsize
     cost = pl.CostEstimate(
@@ -398,24 +596,47 @@ def build_correct(nx: int, ny: int, nz: int, *, dt: float, dx: float,
         transcendentals=0)
     out_shape = tuple(jax.ShapeDtypeStruct((lay.NXP, W), jdt)
                       for _ in range(3))
-    rb = lambda off: _row_block(B, W, S, off)  # noqa: E731
-    call = pl.pallas_call(
-        kernel,
-        grid=(S,),
-        out_shape=out_shape,
-        in_specs=[rb(-1), rb(0), rb(1)] * 4 + [rb(-1), rb(0), rb(1),
-                                               _lane_row(W), _lane_row(W)],
-        out_specs=tuple(rb(0) for _ in range(3)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2 ** 20),
-        cost_estimate=cost,
-        interpret=interpret,
-    )
+    if lay.T > 1:
+        live = (2 * 17 * B * (lay.WT + 2 * lay.HW)
+                + 30 * (B + 4) * lay.CW)
+        call = pl.pallas_call(
+            kernel_t,
+            grid=(lay.T, S),
+            out_shape=out_shape,
+            in_specs=(_tiled_specs(lay, (-1, 0, 1)) * 5
+                      + [_lane_row_t(lay), _lane_row_t(lay)]),
+            out_specs=tuple(_row_block_t(lay, 0) for _ in range(3)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(min(live * itemsize + 2 ** 22,
+                                         110 * 2 ** 20))),
+            cost_estimate=cost,
+            interpret=interpret,
+        )
 
-    def run_flat(vxf, vyf, vzf, prf):
-        return call(prf, prf, prf, vxf, vxf, vxf, vyf, vyf, vyf,
-                    vzf, vzf, vzf, mbits, mbits, mbits,
-                    lay.iy_row, lay.iz_row)
+        def run_flat(vxf, vyf, vzf, prf):
+            return call(*([prf] * 9), *([vxf] * 9), *([vyf] * 9),
+                        *([vzf] * 9), *([mbits] * 9),
+                        lay.iy_ext, lay.iz_ext)
+    else:
+        rb = lambda off: _row_block(B, W, S, off)  # noqa: E731
+        call = pl.pallas_call(
+            kernel,
+            grid=(S,),
+            out_shape=out_shape,
+            in_specs=[rb(-1), rb(0), rb(1)] * 4 + [rb(-1), rb(0), rb(1),
+                                                   _lane_row(W),
+                                                   _lane_row(W)],
+            out_specs=tuple(rb(0) for _ in range(3)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2 ** 20),
+            cost_estimate=cost,
+            interpret=interpret,
+        )
+
+        def run_flat(vxf, vyf, vzf, prf):
+            return call(prf, prf, prf, vxf, vxf, vxf, vyf, vyf, vyf,
+                        vzf, vzf, vzf, mbits, mbits, mbits,
+                        lay.iy_row, lay.iz_row)
 
     def correct_fn(vx, vy, vz, pr) -> Tuple:
         vxf, vyf, vzf = run_flat(lay.flat(vx), lay.flat(vy), lay.flat(vz),

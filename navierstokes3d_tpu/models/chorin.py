@@ -306,16 +306,18 @@ class ChorinSolver:
         Pallas advection kernels (see MAX_PALLAS_ADVECT_K)."""
         return self.advect_k <= MAX_PALLAS_ADVECT_K
 
-    def _pallas_advect_vmem_ok(self, flat: bool) -> bool:
+    def _pallas_advect_vmem_ok(self, flat: bool, layout=None) -> bool:
         """Whether one advection branch kernel's working set fits VMEM
         at this grid's lane width (kernels/advect.py
-        advect_kernel_vmem_bytes; a 511-class grid's ~95k-lane rows blow
-        the ~60-plane accumulation past 128MB — those sizes run the jnp
-        backend)."""
+        advect_kernel_vmem_bytes). A 511-class grid's ~95k-lane rows
+        blow the ~60-plane accumulation past 128MB untiled; the flat
+        chain runs LANE-TILED there (pass the tiled layout), so only
+        extreme widths fall back to the jnp backend."""
         from ..kernels.advect import advect_kernel_vmem_bytes
         g = self.grid
         return advect_kernel_vmem_bytes(
-            g.nx, g.ny, g.nz, self.advect_k, flat=flat) <= 100 * 2 ** 20
+            g.nx, g.ny, g.nz, self.advect_k, flat=flat,
+            layout=layout) <= 100 * 2 ** 20
 
     def _init_fused_step(self):
         """Build the fused non-Poisson chain kernels (kernels/fused_step
@@ -335,13 +337,37 @@ class ChorinSolver:
         interpret = (not on_tpu
                      and os.environ.get("NS3D_FUSED_INTERPRET") == "1")
         # empirical VMEM envelope of the predict kernel: its working set
-        # + Mosaic register spills scale with the common-layout lane
+        # + Mosaic register spills scale with the kernel's lane-window
         # width (measured: needs ~166MB of the 128MB VMEM at W=95104
         # lanes, the 511 grid; comfortably compiles at W=23808, the 255
         # grid). ~1.75KB/lane against a 100MB budget keeps 2.4x headroom
-        # over the validated width; wider grids run the jnp chain.
-        W = ((((grid.ny + 1) * (grid.nz + 1)) + 127) // 128) * 128
-        vmem_ok = W * 1792 <= 100 * 2 ** 20
+        # over the validated width. Wider grids LANE-TILE the window
+        # back into the envelope (CommonLayout lane_tiles; same scheme
+        # as the lane-tiled Poisson kernel) — the jnp chain serves only
+        # whatever even tiling can't fit. NS3D_FUSED_LANE_TILES forces a
+        # tile count (interpret-mode equivalence tests use it).
+        from ..kernels.fused_step import (CommonLayout, build_correct,
+                                          build_predict)
+        envelope = 100 * 2 ** 20 // 1792
+        base_w = ((((grid.ny + 1) * (grid.nz + 1)) + 127) // 128) * 128
+        # the advection accumulation needs (k+1) units of (NZ+1)-lane
+        # halo vs the predict chain's 3 (see CommonLayout docstring)
+        advect_eligible = (self.advect_method == "selectshift"
+                           and self._pallas_advect_k_ok()
+                           and "NS3D_ADVECT" not in os.environ
+                           and os.environ.get("NS3D_ADVECT_PALLAS")
+                           != "0")
+        halo_k = max(3, self.advect_k + 1) if advect_eligible else 3
+        lt_env = os.environ.get("NS3D_FUSED_LANE_TILES")
+        if lt_env:
+            tiles = int(lt_env)
+        elif base_w <= envelope:
+            tiles = 1
+        else:
+            tiles = max(2, round(base_w / 24576))
+        lay = CommonLayout(grid.nx, grid.ny, grid.nz, dtype=self.dtype,
+                           lane_tiles=tiles, halo_k=halo_k)
+        vmem_ok = lay.CW <= envelope
         want = ((on_tpu or interpret) and self.dtype == jnp.float32
                 and not cfg.compat and vmem_ok
                 and os.environ.get("NS3D_FUSED_STEP") != "0"
@@ -350,17 +376,14 @@ class ChorinSolver:
             if (on_tpu and not vmem_ok and self.dtype == jnp.float32
                     and not cfg.compat):
                 warnings.warn(
-                    f"grid lane width W={W} exceeds the fused step "
-                    "kernels' VMEM envelope; running the jnp non-Poisson "
-                    "chain", RuntimeWarning)
+                    f"lane window CW={lay.CW} (T={lay.T} tiles) exceeds "
+                    "the fused step kernels' VMEM envelope; running the "
+                    "jnp non-Poisson chain", RuntimeWarning)
             return
-        from ..kernels.fused_step import (CommonLayout, build_correct,
-                                          build_predict)
         phys = cfg.physics
         g_eff = 0.0 if self.pressure_split else phys.g
         # ONE shared layout + packed cylinder-mask constant across all
         # three builders (each (NXP, W) mask is ~24 MB HBM at 255)
-        lay = CommonLayout(grid.nx, grid.ny, grid.nz, dtype=self.dtype)
         mbits = lay.packed_masks(self.masks)
         self._fused_pre = build_predict(
             grid.nx, grid.ny, grid.nz, dt=grid.dt, dx=grid.dx, dy=grid.dy,
@@ -376,11 +399,8 @@ class ChorinSolver:
         # WHOLE non-Poisson step (no 3D<->flat round trips, no XLA
         # face-average fusions); requires the fused post and the
         # select-shift method
-        if (self.advect_method == "selectshift"
-                and self._pallas_advect_k_ok()
-                and self._pallas_advect_vmem_ok(flat=True)
-                and "NS3D_ADVECT" not in os.environ
-                and os.environ.get("NS3D_ADVECT_PALLAS") != "0"):
+        if (advect_eligible
+                and self._pallas_advect_vmem_ok(flat=True, layout=lay)):
             from ..kernels.advect import build_advect_flat
             self._advect_flat = build_advect_flat(
                 grid.nx, grid.ny, grid.nz, grid.dt, grid.dx, grid.dy,

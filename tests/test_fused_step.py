@@ -160,3 +160,94 @@ def test_chained_step_wiring(variant, monkeypatch):
         tol = 1e-5 if step == 0 else 1e-3
         np.testing.assert_allclose(pa / scale, pb / scale, rtol=0,
                                    atol=tol, err_msg=f"pr step {step}")
+
+
+# ---- lane-tiled kernels (wide-grid VMEM envelopes) ----
+
+def test_lane_tiled_fused_kernels_bitwise():
+    """The lane-tiled predict/correct kernels (tile halos fetched from
+    neighbor lane blocks instead of full-row cyclic rolls) share one
+    width-agnostic body with the untiled kernels, so in interpret mode
+    they must be BIT-identical: only the data routing differs, and
+    every lane a real output consumes carries true neighbor data."""
+    from navierstokes3d_tpu.kernels.fused_step import CommonLayout
+    s = _setup(24)
+    g, phys = s.grid, s.cfg.physics
+    nx, ny, nz = g.nx, g.ny, g.nz
+    vx, vy, vz, pr = _fields(nx, ny, nz, seed=5)
+    g_eff = 0.0 if s.pressure_split else phys.g
+    outs = {}
+    for tiles in (None, 3):
+        lay = CommonLayout(nx, ny, nz, lane_tiles=tiles)
+        if tiles:
+            assert lay.T == tiles, (lay.T, lay.WT, lay.HW)
+        pf = build_predict(nx, ny, nz, dt=g.dt, dx=g.dx, dy=g.dy,
+                           dz=g.dz, mu=phys.mu, rho=phys.rho,
+                           g_eff=g_eff, masks=s.masks, interpret=True,
+                           layout=lay)
+        cf = build_correct(nx, ny, nz, dt=g.dt, dx=g.dx, dy=g.dy,
+                           dz=g.dz, rho=phys.rho, masks=s.masks,
+                           interpret=True, variant="gpu",
+                           vin=phys.vin, layout=lay)
+        pvx, pvy, pvz, dv = jax.jit(pf)(vx, vy, vz)
+        cvx, cvy, cvz = jax.jit(cf)(pvx, pvy, pvz, pr)
+        outs[tiles] = (pvx, pvy, pvz, dv, cvx, cvy, cvz)
+    for name, a, b in zip("pvx pvy pvz divv cvx cvy cvz".split(),
+                          outs[3], outs[None]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+def test_lane_tiled_advect_bitwise():
+    """The lane-tiled flat advection kernel vs untiled: bit-identical
+    outputs and exactly equal clamp counts (the tiled write mask zeroes
+    its halo lanes so every real lane is counted once)."""
+    from navierstokes3d_tpu.kernels.advect import build_advect_flat
+    from navierstokes3d_tpu.kernels.fused_step import CommonLayout
+    s = _setup(24)
+    g = s.grid
+    nx, ny, nz = g.nx, g.ny, g.nz
+    vx, vy, vz, _ = _fields(nx, ny, nz, seed=8)
+    c = jnp.asarray(np.random.default_rng(9).random(
+        (nx, ny, nz)).astype(np.float32))
+    # scale velocities so some departure points clamp (k exceeded)
+    vx = vx * 3.0
+    outs = {}
+    for tiles in (None, 3):
+        lay = CommonLayout(nx, ny, nz, lane_tiles=tiles,
+                           halo_k=max(3, s.advect_k + 1))
+        fn = build_advect_flat(nx, ny, nz, g.dt, g.dx, g.dy, g.dz,
+                               k=s.advect_k, interpret=True, layout=lay)
+        outs[tiles] = jax.jit(fn.on3d)(vx, vy, vz, c)
+    a, b = outs[3], outs[None]
+    assert int(a[4]) == int(b[4]) and int(a[4]) > 0, "clamp counts"
+    for name, x, y in zip("vx vy vz c".split(), a[:4], b[:4]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+
+
+def test_chained_step_lane_tiled(monkeypatch):
+    """The full chained step with NS3D_FUSED_LANE_TILES=3 (interpret)
+    vs the untiled chained step: identical Poisson iteration counts and
+    bit-equal step-1 pressure (the tiled kernels are bit-identical, so
+    unlike the jnp comparison above there is no per-program rounding
+    residue in the chain itself)."""
+    monkeypatch.setenv("NS3D_FUSED_INTERPRET", "1")
+    s0 = _setup(15)
+    monkeypatch.setenv("NS3D_FUSED_LANE_TILES", "3")
+    s1 = _setup(15)
+    assert s1._advect_flat is not None
+    assert s1._advect_flat.layout.T == 3
+    assert s0._advect_flat is not None and s0._advect_flat.layout.T == 1
+    st1, st0 = s1.init_state(), s0.init_state()
+    for step in range(2):
+        st1, a = s1.step_jit(st1)
+        st0, b = s0.step_jit(st0)
+        assert int(a.iters) == int(b.iters), f"step {step} iters"
+        assert int(a.advect_clamped or 0) == int(b.advect_clamped or 0)
+        pa, pb = np.asarray(st1.pr), np.asarray(st0.pr)
+        scale = max(1.0, np.abs(pb).max())
+        np.testing.assert_allclose(pa / scale, pb / scale, rtol=0,
+                                   atol=1e-6, err_msg=f"pr step {step}")
+        for name in ("vx", "vy", "vz", "c"):
+            assert np.isfinite(np.asarray(getattr(st1, name))).all()
