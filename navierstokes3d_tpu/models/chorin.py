@@ -116,8 +116,17 @@ class ChorinSolver:
         self.pressure_split = bool(want)
         ext = cfg.numerics.extended_precision
         if ext is None:
-            ext = (self.pressure_split
-                   and cfg.numerics.jnp_dtype == jnp.float32)
+            # f32 production runs carry the (hi,lo) stored pair whenever
+            # the PT backend solves in f32 — not only under the gpu
+            # variant's hydrostatic split: the multi variant's developing
+            # inflow raises the pressure's dynamic range until the plain
+            # f32 residual floor crosses eps_it (measured: nx=63 stalls
+            # at step 7 with err 1.8e-3; with the pair every step
+            # reproduces the f64 iteration counts exactly). compat keeps
+            # the reference's plain iterate; fdm handles its own accuracy.
+            ext = (cfg.numerics.jnp_dtype == jnp.float32
+                   and not cfg.compat
+                   and cfg.numerics.poisson_backend != "fdm")
         elif ext and cfg.compat:
             raise ValueError("extended_precision changes the iterate and "
                              "cannot compose with compat mode")
@@ -136,8 +145,20 @@ class ChorinSolver:
             self.acc_pallas = self.acc_jnp = "none"
         elif acc == "extended":
             self.acc_pallas = self.acc_jnp = "extended"
-        else:  # None (auto) or 'defect'
+        elif acc == "defect":
             self.acc_pallas = "defect"
+            self.acc_jnp = "extended"
+        else:  # None (auto)
+            # restarted defect correction is the cheap hybrid shape, but
+            # the correction solve runs PLAIN f32, so its floor tracks
+            # the pressure's dynamic range: under the gpu variant's
+            # hydrostatic split the iterate is small-range and defect is
+            # validated (255 stored-state err 6.1e-4); without the split
+            # (multi variant) the correction stalls at ~1.5e-3 vs the
+            # 1e-3 criterion (measured at nx=63 on v5e) while the
+            # extended (hi,lo) phase reaches 5.3e-4 — so no-split
+            # configs run the pair kernel for the accuracy phase.
+            self.acc_pallas = "defect" if self.pressure_split else "extended"
             self.acc_jnp = "extended"
         if self.pressure_split:
             if cfg.numerics.poisson_backend == "fdm":
@@ -1141,10 +1162,66 @@ class ChorinSolver:
                 # stored state then meets eps_it, not just the in-solve
                 # iterate (the single rounded field re-adds ~3e-2 err
                 # units at 255; docs/numerics.md "What still floors").
-                p13, dpr2 = unpack(pr_pad, d_f)
-                dl3, _ = unpack(dl, d_f)
-                hi, lo = _two_sum(p13, dl3)
-                hi, lo = self.set_bc_pr_pair(hi, lo)
+                comp3d = self._comp_residual_fn()
+                rhs_hi_in = rhs3d[1:-1, 1:-1, 1:-1]
+                rhs_lo_in = rhs_lo3d[1:-1, 1:-1, 1:-1]
+
+                def pair_of(dl_f, df):
+                    p13, dpr2 = unpack(pr_pad, df)
+                    dl3, _ = unpack(dl_f, df)
+                    hi, lo = _two_sum(p13, dl3)
+                    hi, lo = self.set_bc_pr_pair(hi, lo)
+                    return hi, lo, dpr2
+
+                def true_err(dl_f, df):
+                    hi, lo, _ = pair_of(dl_f, df)
+                    return comp3d(hi, lo, rhs_hi_in,
+                                  rhs_lo_in)[1] * err_scale
+
+                # ---- stored-state guarantee (cold path) ----
+                # The fused loop's exit check is the residual ONE
+                # iteration before the returned state, evaluated with
+                # plain-f32 noise at |delta| scale (ptloop.pt_loop_fused
+                # "Convergence semantics"). On MARGINAL exits (check
+                # just under eps_it) the returned pair's true residual
+                # can land a few percent above eps_it — measured at
+                # multi nx=63 on v5e: check 9.92e-4, stored 1.098e-3.
+                # When the exit is marginal, re-evaluate the pair with
+                # the compensated residual (the stored-state criterion
+                # itself, = stored_residual_err) and keep iterating in
+                # nchk chunks until the STORED state meets eps_it or
+                # the phase-2 budget runs out. The Float64 reference's
+                # exact check would also have kept iterating at such a
+                # state (gpu.jl:132-135), so this moves f32 iteration
+                # counts toward the reference's, never away. Cost when
+                # not marginal: none (lax.cond cold branch).
+                def guarantee(args):
+                    dl_f, df, it2v, errv = args
+
+                    def cond(c):
+                        dl_c, df_c, itv, _ = c
+                        return ((true_err(dl_c, df_c) >= eps_it)
+                                & (itv + grid.nchk <= n2))
+
+                    def body_fn(c):
+                        dl_c, df_c, itv, ev = c
+                        dl_c, df_c = lax.fori_loop(
+                            0, grid.nchk,
+                            lambda _, cc: iter_fn(*cc, rhs_c, False)[:2],
+                            (dl_c, df_c))
+                        return dl_c, df_c, itv + grid.nchk, ev
+
+                    dl_f, df, it2v, _ = lax.while_loop(
+                        cond, body_fn, (dl_f, df, it2v, errv))
+                    return dl_f, df, it2v, true_err(dl_f, df)
+
+                marginal = ((err >= jnp.asarray(0.85 * eps_it,
+                                                self.dtype))
+                            & (err < eps_it) & (it2 > 0))
+                dl, d_f, it2, err = lax.cond(
+                    marginal, guarantee, lambda a: a,
+                    (dl, d_f, it2, err))
+                hi, lo, dpr2 = pair_of(dl, d_f)
                 return hi, dpr2, StepStats(iters=it1 + it2, err=err,
                                            err_hist=hist, iters_ext=it2,
                                            pr_lo=lo)
@@ -1190,6 +1267,61 @@ class ChorinSolver:
                     step2, (hi_f, lo_f, dpf0), 0,
                     budget2, grid.nchk, nchunks,
                     eps_it, self.dtype, stall=self._stall)
+
+                if want_pair:
+                    # ---- stored-state guarantee (cold path) ----
+                    # Same rationale as the defect branch's guarantee:
+                    # the fused loop's exit check is one iteration stale
+                    # and f32-evaluated, so a MARGINAL exit can return a
+                    # pair whose true (compensated) residual sits a few
+                    # percent above eps_it. Re-evaluate with the
+                    # stored-state criterion itself and keep iterating
+                    # in nchk chunks while it fails and budget remains.
+                    comp3d = self._comp_residual_fn()
+
+                    def true_err_f(hi_v, lo_v, dpf_v):
+                        # the rhs pair is (re)computed here so it stays
+                        # INSIDE the lax.cond cold branch (a closure-
+                        # captured value would be hoisted to a cond
+                        # operand and computed on every phase-2 run)
+                        rhs_hi_g, rhs_lo_g = dsops.rhs_pair(
+                            divv, rho / dt, self._z_hoist)
+                        hi3, lo3, _ = unpack_e(hi_v, lo_v, dpf_v)
+                        hi3, lo3 = self.set_bc_pr_pair(hi3, lo3)
+                        return comp3d(hi3, lo3,
+                                      rhs_hi_g[1:-1, 1:-1, 1:-1],
+                                      rhs_lo_g[1:-1, 1:-1, 1:-1]
+                                      )[1] * err_scale
+
+                    def guarantee(args):
+                        hi_v, lo_v, dpf_v, itv, errv = args
+
+                        def g_cond(c):
+                            h, l, d, iv, _ = c
+                            return ((true_err_f(h, l, d) >= eps_it)
+                                    & (iv + grid.nchk <= budget2))
+
+                        def g_body(c):
+                            h, l, d, iv, ev = c
+                            h, l, d = lax.fori_loop(
+                                0, grid.nchk,
+                                lambda _, cc: iter_e(*cc, rhf,
+                                                     False)[:3],
+                                (h, l, d))
+                            return h, l, d, iv + grid.nchk, ev
+
+                        hi_v, lo_v, dpf_v, itv, _ = lax.while_loop(
+                            g_cond, g_body,
+                            (hi_v, lo_v, dpf_v, itv, errv))
+                        return (hi_v, lo_v, dpf_v, itv,
+                                true_err_f(hi_v, lo_v, dpf_v))
+
+                    marginal = ((err2 >= jnp.asarray(0.85 * eps_it,
+                                                     self.dtype))
+                                & (err2 < eps_it))
+                    hi, lo, dpf, it2, err2 = lax.cond(
+                        marginal, guarantee, lambda a: a,
+                        (hi, lo, dpf, it2, err2))
                 prc = (hi, lo)
             else:
                 def run_iters_e(prc, dpf, n):

@@ -326,7 +326,12 @@ def test_shard_map_pallas_composition(extended):
         accuracy="extended" if extended else None))
     solver = ns.ChorinSolver(cfg)
     assert solver._pallas is not None
-    assert (solver._pallas_ext is not None) == extended
+    # accuracy=None now auto-selects the extended pair for no-split
+    # configs (the multi preset here), so _pallas_ext exists either way;
+    # the parametrized `extended` flag still controls the shard-map
+    # solve's kernel below.
+    if extended:
+        assert solver._pallas_ext is not None
     g = solver.grid
     pr, dpr, rhs = _rand_pois(g)
 
