@@ -147,11 +147,25 @@ class NumericsConfig:
     #   'extended' — double-single continuation (the extended_precision
     #                iterate as the second phase).
     #   'none'     — single plain phase only.
-    # None = auto: 'defect' when the Pallas path is active and the
-    # extended trigger condition holds (pressure_split + float32),
-    # 'extended' on the jnp path (which runs the pair from the start and
-    # reproduces the Float64 reference's iteration counts), else 'none'.
+    # None = auto: on the Pallas path, 'defect' when the hydrostatic
+    # split is active (its small-range iterate is where the plain-f32
+    # correction solve is validated) and 'extended' otherwise (the
+    # no-split multi variant's correction solve floors above eps_it —
+    # measured ~1.5e-3 at nx=63 on v5e, vs 5.3e-4 for the pair); on the
+    # jnp path always 'extended' (runs the pair from the start and
+    # reproduces the Float64 reference's iteration counts); 'none' when
+    # extended_precision is off.
     accuracy: Optional[str] = None
+    # Carry the velocity/tracer state between steps in the fused chain's
+    # flat (NXP, W) layout (kernels/fused_step.CommonLayout) instead of
+    # the canonical 3D arrays: kills the per-step 3D<->flat relayouts
+    # (~0.5-2 ms per field at the 255 grid; the kernels themselves
+    # already chain flat operands, models/chorin._step_chained).
+    # Opt-in: the flat fields are converted back to canonical 3D at
+    # every I/O boundary (checkpoint, gather, viz, .mat), and the flag
+    # is ignored (with a warning) when the fused chain is unavailable
+    # (compat, f64, wide-beyond-tiling grids, distributed meshes).
+    flat_state: bool = False
     # Poisson stall exit: stop iterating when the residual improved by
     # less than stall_ratio**stall_checks over the last `stall_checks`
     # residual checks — the iterate has converged to its noise floor and

@@ -99,6 +99,18 @@ class ChorinSolver:
         self._init_pallas()
         self._init_advect_pallas()
         self._init_fused_step()
+        # flat-state mode (NumericsConfig.flat_state): carry vx/vy/vz/c
+        # between steps in the fused chain's (NXP, W) layout — requires
+        # the full chain (the step must be _step_chained end to end)
+        self.flat_state = bool(cfg.numerics.flat_state
+                               and self._advect_flat is not None
+                               and self.advect_method == "selectshift")
+        if cfg.numerics.flat_state and not self.flat_state:
+            warnings.warn(
+                "flat_state requested but the fused flat chain is "
+                "unavailable on this config (compat/f64/over-wide grid "
+                "or non-selectshift advection); keeping canonical 3D "
+                "state", RuntimeWarning)
         self.step_jit = jax.jit(self.step, donate_argnums=0)
 
     def _init_split(self):
@@ -193,9 +205,37 @@ class ChorinSolver:
 
     def gather_inner(self, state: "FlowState"):
         """gather_inner with the physical (unsplit) pressure."""
+        state = self.canonical_state(state)
         return gather_inner(
             state if not self.pressure_split
             else state.replace(pr=self.full_pressure(state.pr)))
+
+    # ---- flat-state representation (NumericsConfig.flat_state) ----
+
+    def maybe_flatten_state(self, state: "FlowState") -> "FlowState":
+        """Convert vx/vy/vz/c to the fused chain's flat (NXP, W) layout
+        when flat-state mode is on (exact zero-pad embeddings; pr and
+        the pair stay 3D — the Poisson solve has its own layout).
+        No-op otherwise or when already flat."""
+        if not self.flat_state or state.vx.ndim == 2:
+            return state
+        lay = self._advect_flat.layout
+        return state.replace(vx=lay.flat(state.vx), vy=lay.flat(state.vy),
+                             vz=lay.flat(state.vz), c=lay.flat(state.c))
+
+    def canonical_state(self, state: "FlowState") -> "FlowState":
+        """Inverse of maybe_flatten_state: the canonical 3D staggered
+        representation (exact crops), for every I/O boundary
+        (checkpoint, gather, viz, .mat) and for non-chained step paths.
+        No-op when the state is already canonical."""
+        if state.vx.ndim != 2:
+            return state
+        lay = self._advect_flat.layout
+        nx, ny, nz = self.grid.nx, self.grid.ny, self.grid.nz
+        return state.replace(vx=lay.unflat(state.vx, nx + 1, ny, nz),
+                             vy=lay.unflat(state.vy, nx, ny + 1, nz),
+                             vz=lay.unflat(state.vz, nx, ny, nz + 1),
+                             c=lay.unflat(state.c, nx, ny, nz))
 
     def _init_pallas(self):
         """Build the fused Poisson-iteration Pallas kernel when enabled.
@@ -556,7 +596,7 @@ class ChorinSolver:
                     jnp.asarray(pr_prof, dtype=self.dtype)[None, None, :],
                     grid.shape_c)
                 st = st.replace(vx=vx, pr=pr)
-        return st
+        return self.maybe_flatten_state(st)
 
     # ---- Poisson solve ----
 
@@ -1494,6 +1534,14 @@ class ChorinSolver:
                     allow_pallas = False
             except Exception:
                 pass
+        if state.vx.ndim == 2:  # flat-state mode (NumericsConfig.flat_state)
+            if self._fused_pre is not None and allow_pallas:
+                lay = self._fused_pre.layout
+                dvf = self._fused_pre.run_flat(state.vx, state.vy,
+                                               state.vz)[3]
+                return lay.unflat(dvf, self.grid.nx, self.grid.ny,
+                                  self.grid.nz)
+            state = self.canonical_state(state)
         if self._fused_pre is not None and allow_pallas:
             # the step's own prelude (bit-exact with _step_impl's fused
             # branch, which is what a donating single-device step_jit ran)
@@ -1552,6 +1600,11 @@ class ChorinSolver:
                 and self._advect_flat is not None
                 and self.advect_method == "selectshift"):
             return self._step_chained(state, poisson_fn)
+        if state.vx.ndim == 2:
+            # a flat-mode state reaching a non-chained path (e.g. clamp
+            # escalation flipped the advection method to 'gather'):
+            # drop back to the canonical representation for good
+            state = self.canonical_state(state)
         if fused:
             # fused stress+predictor+cylinder+divergence (one HBM pass
             # over the velocities instead of ~15 XLA fusions)
@@ -1609,25 +1662,34 @@ class ChorinSolver:
         grid = self.grid
         nx, ny, nz = grid.nx, grid.ny, grid.nz
         lay = self._advect_flat.layout
-        vxf = lay.flat(state.vx)
-        vyf = lay.flat(state.vy)
-        vzf = lay.flat(state.vz)
+        flat_in = state.vx.ndim == 2  # flat-state mode: fields arrive flat
+        if flat_in:
+            vxf, vyf, vzf, cf0 = state.vx, state.vy, state.vz, state.c
+        else:
+            vxf = lay.flat(state.vx)
+            vyf = lay.flat(state.vy)
+            vzf = lay.flat(state.vz)
+            cf0 = lay.flat(state.c)
         vxf, vyf, vzf, dvf = self._fused_pre.run_flat(vxf, vyf, vzf)
         divv = lay.unflat(dvf, nx, ny, nz)
         cf = jnp.where(self._fused_pre.cmask_flat,
-                       jnp.ones((), state.c.dtype), lay.flat(state.c))
+                       jnp.ones((), state.c.dtype), cf0)
         pr, dprdtau, stats = poisson_fn(state.pr, state.dprdtau, divv)
         pr_lo = stats.pr_lo
         stats = stats.replace(pr_lo=None)
         vxf, vyf, vzf = self._fused_post.run_flat(vxf, vyf, vzf,
                                                   lay.flat(pr))
         vxf, vyf, vzf, cf, n_clamped = self._advect_flat(vxf, vyf, vzf, cf)
-        new_state = FlowState(pr=pr,
-                              vx=lay.unflat(vxf, nx + 1, ny, nz),
-                              vy=lay.unflat(vyf, nx, ny + 1, nz),
-                              vz=lay.unflat(vzf, nx, ny, nz + 1),
-                              c=lay.unflat(cf, nx, ny, nz),
-                              dprdtau=dprdtau, pr_lo=pr_lo)
+        if flat_in:
+            new_state = FlowState(pr=pr, vx=vxf, vy=vyf, vz=vzf, c=cf,
+                                  dprdtau=dprdtau, pr_lo=pr_lo)
+        else:
+            new_state = FlowState(pr=pr,
+                                  vx=lay.unflat(vxf, nx + 1, ny, nz),
+                                  vy=lay.unflat(vyf, nx, ny + 1, nz),
+                                  vz=lay.unflat(vzf, nx, ny, nz + 1),
+                                  c=lay.unflat(cf, nx, ny, nz),
+                                  dprdtau=dprdtau, pr_lo=pr_lo)
         return new_state, stats.replace(advect_clamped=n_clamped)
 
     # ---- convenience driver (host loop; I/O hooks live in run.py) ----

@@ -84,6 +84,12 @@ def build_argparser() -> argparse.ArgumentParser:
                          "when a step's residual is non-finite; the "
                          "reference only breaks the Poisson loop and "
                          "keeps time-stepping (gpu.jl:135)")
+    ap.add_argument("--flat-state", action="store_true",
+                    help="carry the velocity/tracer state between steps "
+                         "in the fused chain's flat layout "
+                         "(NumericsConfig.flat_state): kills the "
+                         "per-step 3D<->flat relayouts; I/O still sees "
+                         "canonical 3D fields. Single-chip only.")
     ap.add_argument("--animate", action="store_true",
                     help="after the run, assemble the saved viz frames "
                          "into per-field/plane GIFs (viz.make_animation) "
@@ -140,6 +146,13 @@ def main(argv=None):
     preset = ns.preset_multi if args.preset == "multi" else ns.preset_gpu
     cfg = preset(nx=args.nx, nt=args.nt, compat=args.compat,
                  dtype=args.dtype)
+    if args.flat_state:
+        import dataclasses
+        if args.mesh:
+            raise SystemExit("--flat-state is single-chip only (the "
+                             "distributed schedules own their layouts)")
+        cfg = cfg.replace(numerics=dataclasses.replace(
+            cfg.numerics, flat_state=True))
     solver = ns.ChorinSolver(cfg)
     g = solver.grid
 
@@ -207,6 +220,9 @@ def main(argv=None):
             state, it0 = checkpoint.load_checkpoint(
                 ck, dtype=cfg.numerics.jnp_dtype,
                 expect_pressure_split=solver.pressure_split)
+            # checkpoints store the canonical 3D representation;
+            # re-enter flat-state mode if this solver runs it
+            state = solver.maybe_flatten_state(state)
             if not args.quiet:
                 print(f"resumed from {ck} at step {it0}", file=sys.stderr)
         else:
@@ -219,7 +235,9 @@ def main(argv=None):
     else:
         if mesh is not None:
             state = shard_state(state, mesh)
-        to_flow = lambda st: st
+        # canonical 3D view at every I/O boundary (no-op unless the
+        # solver carries the state in flat-state mode)
+        to_flow = solver.canonical_state
 
     # vis and save run on independent cadences (reference checks %nvis and
     # %nsave separately, gpu.jl:143,168); .bin dumps are frame-indexed while

@@ -251,3 +251,49 @@ def test_chained_step_lane_tiled(monkeypatch):
                                    atol=1e-6, err_msg=f"pr step {step}")
         for name in ("vx", "vy", "vz", "c"):
             assert np.isfinite(np.asarray(getattr(st1, name))).all()
+
+
+def test_flat_state_step_equivalence(monkeypatch):
+    """NumericsConfig.flat_state: the chained step on flat-carried state
+    must be BIT-identical to the canonical-state chained step (the
+    kernels already hand flat operands to each other inside one step;
+    flat mode only removes the entry/exit relayouts, which are exact
+    zero-pad embeddings), with stats equal and I/O boundaries seeing
+    canonical 3D fields."""
+    import dataclasses
+    monkeypatch.setenv("NS3D_FUSED_INTERPRET", "1")
+    s0 = _setup(15)
+    cfg1 = dataclasses.replace(
+        s0.cfg, numerics=dataclasses.replace(s0.cfg.numerics,
+                                             flat_state=True))
+    s1 = ns.ChorinSolver(cfg1)
+    assert s1.flat_state and not s0.flat_state
+    st0, st1 = s0.init_state(), s1.init_state()
+    assert st1.vx.ndim == 2, "flat-state init must carry flat fields"
+    # canonical view of the flat init == the canonical init, bitwise
+    can1 = s1.canonical_state(st1)
+    for name in ("vx", "vy", "vz", "c"):
+        np.testing.assert_array_equal(np.asarray(getattr(can1, name)),
+                                      np.asarray(getattr(st0, name)),
+                                      err_msg=f"init {name}")
+    for step in range(2):
+        st0, a = s0.step_jit(st0)
+        st1, b = s1.step_jit(st1)
+        assert st1.vx.ndim == 2
+        assert int(a.iters) == int(b.iters)
+        assert int(a.advect_clamped or 0) == int(b.advect_clamped or 0)
+        can1 = s1.canonical_state(st1)
+        for name in ("pr", "vx", "vy", "vz", "c"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(can1, name)),
+                np.asarray(getattr(st0, name)),
+                err_msg=f"step {step} {name}")
+    # gather_inner canonicalizes internally
+    g0 = s0.gather_inner(st0)
+    g1 = s1.gather_inner(st1)
+    for a, b in zip(g0, g1):
+        np.testing.assert_array_equal(a, b)
+    # predictor_divv on the flat state matches the canonical one
+    d0 = jax.jit(s0.predictor_divv)(st0)
+    d1 = jax.jit(s1.predictor_divv)(st1)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))

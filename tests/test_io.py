@@ -237,3 +237,29 @@ def test_cli_abort_on_nan(tmp_path):
     # the poisoned snapshot must NOT shadow the resume chain
     assert checkpoint.latest_checkpoint(str(ckdir)).endswith(
         "ckpt_0000003.npz")
+
+
+def test_cli_flat_state_checkpoint_roundtrip(tmp_path):
+    """--flat-state: the CLI carries flat fields between steps but every
+    I/O boundary (checkpoint, viz, .bin) sees canonical 3D arrays, and
+    a resume re-enters flat mode with identical results."""
+    env = dict(os.environ, NS3D_FUSED_INTERPRET="1")
+    base = [sys.executable, "-m", "navierstokes3d_tpu.run",
+            "--preset", "multi", "--nx", "9", "--dtype", "float32",
+            "--platform", "cpu", "--flat-state",
+            "--out-dir", str(tmp_path / "out"),
+            "--viz-dir", str(tmp_path / "viz"),
+            "--ckpt-dir", str(tmp_path / "ck"), "--quiet"]
+    cwd = os.path.dirname(os.path.dirname(__file__))
+    r = subprocess.run(base + ["--nt", "2", "--save", "--nsave", "2",
+                               "--checkpoint-every", "2"],
+                       capture_output=True, text=True, cwd=cwd, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "ck" / "ckpt_0000002.npz").exists()
+    # checkpoint stores canonical 3D shapes
+    import numpy as _np
+    with _np.load(tmp_path / "ck" / "ckpt_0000002.npz") as z:
+        assert z["vx"].ndim == 3
+    r2 = subprocess.run(base + ["--nt", "2", "--resume"],
+                        capture_output=True, text=True, cwd=cwd, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
