@@ -140,20 +140,25 @@ def main():
         if i == args.steps - 1:
             # snapshot the final step's Poisson RHS before the donating
             # step deletes its input: the stored-state criterion below
-            # re-evaluates the returned pressure pair against it.
-            # Excluded from the timed wall (t0 shifted by its duration).
+            # re-evaluates the returned pressure pair against it. Drain
+            # the queued steps first (that wait is real step compute and
+            # stays in the timed wall); only the snapshot itself is
+            # excluded (t0 shifted by its duration).
+            jax.block_until_ready(state.pr)
             ts = time.time()
             divv_pre = jax.jit(solver.predictor_divv)(state)
             jax.block_until_ready(divv_pre)
             t0 += time.time() - ts
         state, stats = solver.step_jit(state)
-        # Stats fetches move OUT of the timed window: each blocking
-        # scalar D2H is a full tunnel RPC (~32 ms measured,
-        # benchmarks/dispatch_gap_probe.py: eager per-step reads cost
-        # 65 ms/step of pure host-side fetch latency — 19% of wall).
-        # The async copies overlap the next step's compute; the
-        # convergence asserts below are evaluated after the window on
-        # exactly the same per-step values.
+        # Host costs move OUT of the timed window (measured,
+        # benchmarks/dispatch_gap_probe.py: eager per-step stats reads
+        # cost 65 ms/step — two ~32 ms tunnel RPCs — and the per-step
+        # block_until_ready another ~20 ms). The steps are CHAINED
+        # (each consumes its predecessor's donated state), so
+        # free-running them measures exactly the production throughput
+        # of `run.py --sync-every N`; the async stat copies overlap
+        # compute, and the per-step convergence asserts below run after
+        # the window on the same values.
         for a in (stats.iters, stats.iters_ext, stats.err):
             if a is not None:
                 try:
@@ -161,7 +166,7 @@ def main():
                 except AttributeError:
                     pass
         step_stats.append(stats)
-        jax.block_until_ready(state.pr)
+    jax.block_until_ready(state.pr)
     wall = time.time() - t0
     for i, stats in enumerate(step_stats):
         total_iters += int(stats.iters)

@@ -17,6 +17,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -84,6 +85,14 @@ def build_argparser() -> argparse.ArgumentParser:
                          "when a step's residual is non-finite; the "
                          "reference only breaks the Poisson loop and "
                          "keeps time-stepping (gpu.jl:135)")
+    ap.add_argument("--sync-every", type=int, default=1,
+                    help="pipeline N chained steps per host sync (stats "
+                         "fetches and per-step policies are processed in "
+                         "batches; ~20 ms/step of host round-trip latency "
+                         "recovered on the dev tunnel — "
+                         "benchmarks/dispatch_gap_probe.py). I/O cadences "
+                         "force a sync regardless. NaN-abort/clamp "
+                         "escalation react up to N-1 steps late.")
     ap.add_argument("--flat-state", action="store_true",
                     help="carry the velocity/tracer state between steps "
                          "in the fused chain's flat layout "
@@ -279,9 +288,13 @@ def main(argv=None):
     if args.vis:
         dump_vis(0, state)
 
+    from navierstokes3d_tpu.utils.timers import StepRecord
     timer = RunTimer()
-    for it in range(it0 + 1, it0 + args.nt + 1):
-        timer.start()
+    sync_every = max(1, args.sync_every)
+    pending = []  # (it, stats) not yet processed on the host
+    it_last = it0 + args.nt
+    t_block = time.time()
+    for it in range(it0 + 1, it_last + 1):
         state, stats = step(state)
         # start the scalar D2H fetches before blocking: each blocking
         # read is a full tunnel RPC (~32 ms measured, benchmarks/
@@ -293,40 +306,61 @@ def main(argv=None):
                     a.copy_to_host_async()
                 except AttributeError:
                     pass
+        pending.append((it, stats))
+        # --sync-every N pipelines N chained steps per host round trip
+        # (the per-step block_until_ready itself costs ~20 ms through
+        # the tunnel); any step with an I/O cadence due syncs regardless
+        need_sync = (len(pending) >= sync_every or it == it_last
+                     or (args.save and it % args.nsave == 0)
+                     or (args.vis and it % args.nvis == 0)
+                     or (args.checkpoint_every
+                         and it % args.checkpoint_every == 0))
+        if not need_sync:
+            continue
         jax.block_until_ready(state.pr)
-        rec = timer.stop(it, int(stats.iters), float(stats.err))
-        n_clamped = (int(stats.advect_clamped)
-                     if stats.advect_clamped is not None else 0)
-        if args.log_jsonl:
-            with open(args.log_jsonl, "a") as f:
-                f.write(json.dumps(dict(it=it, iters=rec.poisson_iters,
-                                        err=rec.err,
-                                        advect_clamped=n_clamped,
-                                        wall_s=round(rec.wall_s, 4))) + "\n")
-        if not args.quiet:
-            print(f"#it = {it}  iters = {rec.poisson_iters}  "
-                  f"err = {rec.err:.3e}  wall = {rec.wall_s:.3f}s",
-                  file=sys.stderr)
-        if args.abort_on_nan and not np.isfinite(rec.err):
-            # The reference only BREAKS the Poisson loop on a non-finite
-            # residual and keeps time-stepping into garbage
-            # (gpu.jl:135); this stops the run with the state still on
-            # disk-able footing (checkpoint below won't run — write one
-            # now so the blow-up step is inspectable). The snapshot name
-            # deliberately does NOT match the ckpt_*.npz pattern:
-            # latest_checkpoint() must keep resuming from the last GOOD
-            # checkpoint, never the poisoned state.
-            checkpoint.save_checkpoint(
-                os.path.join(args.ckpt_dir, f"nanstate_{it:07d}.npz"),
-                to_flow(state), it, pressure_split=solver.pressure_split)
-            raise SystemExit(
-                f"non-finite residual at step {it} "
-                f"(err={rec.err!r}); state snapshot written to "
-                f"{args.ckpt_dir}/nanstate_{it:07d}.npz")
-        new_step = clamp_escalation(args.on_clamp, solver, it, n_clamped,
-                                    build_step)
-        if new_step is not None:
-            step = new_step
+        per_step = (time.time() - t_block) / len(pending)
+        for itp, stp in pending:
+            rec = StepRecord(it=itp, wall_s=per_step,
+                             poisson_iters=int(stp.iters),
+                             err=float(stp.err))
+            timer.records.append(rec)
+            n_clamped = (int(stp.advect_clamped)
+                         if stp.advect_clamped is not None else 0)
+            if args.log_jsonl:
+                with open(args.log_jsonl, "a") as f:
+                    f.write(json.dumps(dict(
+                        it=itp, iters=rec.poisson_iters, err=rec.err,
+                        advect_clamped=n_clamped,
+                        wall_s=round(rec.wall_s, 4))) + "\n")
+            if not args.quiet:
+                print(f"#it = {itp}  iters = {rec.poisson_iters}  "
+                      f"err = {rec.err:.3e}  wall = {rec.wall_s:.3f}s",
+                      file=sys.stderr)
+            if args.abort_on_nan and not np.isfinite(rec.err):
+                # The reference only BREAKS the Poisson loop on a
+                # non-finite residual and keeps time-stepping into
+                # garbage (gpu.jl:135); this stops the run with the
+                # state still on disk-able footing (checkpoint below
+                # won't run — write one now so the blow-up step is
+                # inspectable; with --sync-every > 1 the snapshot is the
+                # newest state, up to N-1 steps past the offender). The
+                # snapshot name deliberately does NOT match the
+                # ckpt_*.npz pattern: latest_checkpoint() must keep
+                # resuming from the last GOOD checkpoint, never the
+                # poisoned state.
+                checkpoint.save_checkpoint(
+                    os.path.join(args.ckpt_dir, f"nanstate_{it:07d}.npz"),
+                    to_flow(state), it,
+                    pressure_split=solver.pressure_split)
+                raise SystemExit(
+                    f"non-finite residual at step {itp} "
+                    f"(err={rec.err!r}); state snapshot written to "
+                    f"{args.ckpt_dir}/nanstate_{it:07d}.npz")
+            new_step = clamp_escalation(args.on_clamp, solver, itp,
+                                        n_clamped, build_step)
+            if new_step is not None:
+                step = new_step
+        pending.clear()
         if args.save and it % args.nsave == 0:
             dump_save(it, state)
         if args.vis and it % args.nvis == 0:
@@ -335,6 +369,7 @@ def main(argv=None):
             checkpoint.save_checkpoint(
                 os.path.join(args.ckpt_dir, f"ckpt_{it:07d}.npz"),
                 to_flow(state), it, pressure_split=solver.pressure_split)
+        t_block = time.time()
 
     if args.animate:
         import glob

@@ -159,6 +159,25 @@ def test_cli_jsonl_log(tmp_path):
     assert len(lines) == 2 and lines[0]["it"] == 1 and "err" in lines[0]
 
 
+def test_cli_sync_every_pipelines_steps(tmp_path):
+    """--sync-every 3: steps pipeline between host syncs but every
+    per-step record still lands (batched stats processing)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "navierstokes3d_tpu.run", "--nx", "9",
+         "--nt", "5", "--dtype", "float32", "--platform", "cpu",
+         "--quiet", "--sync-every", "3",
+         "--log-jsonl", str(tmp_path / "steps.jsonl")],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json as _json
+    lines = [_json.loads(l) for l in open(tmp_path / "steps.jsonl")]
+    assert [l["it"] for l in lines] == [1, 2, 3, 4, 5]
+    assert all("err" in l and "iters" in l for l in lines)
+    summary = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["steps"] == 4  # summary skips the compile step
+
+
 def test_cli_shard_map_comm(tmp_path):
     """CLI --comm shard_map drives the explicit ppermute-halo Poisson path
     with halo batching on a virtual mesh."""
