@@ -65,6 +65,31 @@ def _f(x, dtype):
     return np.dtype(dtype).type(x)
 
 
+def ext_lane_np(a, T: int, WT: int, HW: int, W: int,
+                halo_fill: str = "copy"):
+    """Halo-extend a (1, W) numpy lane constant for a lane-tiled kernel:
+    -> (1, T*(WT+2*HW)), per tile the WT center lanes plus both HW
+    halos. halo_fill='copy' takes the neighboring tiles' real values
+    (for constants consumed at halo lanes), zero-filled beyond the
+    global edges where every consumer is masked; 'zero' leaves halos
+    zero (write masks must count each real lane exactly once). Shared
+    by CommonLayout.ext_lane and the lane-tiled Poisson kernel's
+    sweep constants (kernels/poisson.py)."""
+    a = np.asarray(a).reshape(1, W)
+    CW = WT + 2 * HW
+    out = np.zeros((1, T * CW), a.dtype)
+    for t in range(T):
+        if halo_fill == "copy":
+            lo = t * WT - HW
+            s0, s1 = max(lo, 0), min(t * WT + WT + HW, W)
+            out[0, t * CW + (s0 - lo):t * CW + (s0 - lo)
+                + (s1 - s0)] = a[0, s0:s1]
+        else:
+            out[0, t * CW + HW:t * CW + HW + WT] = (
+                a[0, t * WT:t * WT + WT])
+    return out
+
+
 class CommonLayout:
     """The shared flat layout: rows = x, lanes = y*(nz+1) + z with all
     fields zero-padded to (ny+1, nz+1) y/z planes.
@@ -126,25 +151,10 @@ class CommonLayout:
             self.iz_ext = jnp.asarray(self.ext_lane(iz))
 
     def ext_lane(self, a, halo_fill: str = "copy"):
-        """(1, W) numpy lane constant -> (1, T*CW): per tile the WT
-        center lanes plus both HW halos. halo_fill='copy' takes the
-        neighboring tiles' real values (for constants consumed at halo
-        lanes); 'zero' leaves halos zero (for write masks, which must
-        count every real lane exactly once across tiles)."""
-        a = np.asarray(a).reshape(1, self.W)
-        out = np.zeros((1, self.T * self.CW), a.dtype)
-        for t in range(self.T):
-            if halo_fill == "copy":
-                lo = t * self.WT - self.HW
-                s0 = max(lo, 0)
-                s1 = min(t * self.WT + self.WT + self.HW, self.W)
-                out[0, t * self.CW + (s0 - lo):t * self.CW + (s0 - lo)
-                    + (s1 - s0)] = a[0, s0:s1]
-            else:
-                out[0, t * self.CW + self.HW:
-                    t * self.CW + self.HW + self.WT] = (
-                    a[0, t * self.WT:t * self.WT + self.WT])
-        return out
+        """Halo-extend a (1, W) lane constant to this layout's tiled
+        form (see ext_lane_np)."""
+        return ext_lane_np(a, self.T, self.WT, self.HW, self.W,
+                           halo_fill=halo_fill)
 
     def flat(self, a):
         n1, n2, n3 = a.shape

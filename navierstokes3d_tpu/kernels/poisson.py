@@ -705,31 +705,15 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
             # sweep 2), so the lane-constant rows come in halo-extended
             # (1, T*CW) form; HW >= 2*nz+2 guarantees sweep 2's reads
             # stay clear of both the concat edges and roll wraparound.
-            def ext_lane_row(a):
-                """(1, W) np constant -> (1, T*CW): per tile the center
-                segment plus its two HW halos (zero-filled at the global
-                edges — zero weights there freeze out-of-range lanes,
-                the same invariant as the cyclic-roll garbage)."""
-                out = np.zeros((1, T * CW), a.dtype)
-                for t in range(T):
-                    lo = t * WT - HW
-                    s0, s1 = max(lo, 0), min(t * WT + WT + HW, W)
-                    out[0, t * CW + (s0 - lo):t * CW + (s0 - lo)
-                        + (s1 - s0)] = a[0, s0:s1]
-                return out
-
+            # lane constants halo-extended per tile (zero-filled at the
+            # global edges — zero weights there freeze out-of-range
+            # lanes, the same invariant as the cyclic-roll garbage)
+            from .fused_step import ext_lane_np
             rows_ext_c = tuple(
-                jnp.asarray(ext_lane_row(np.asarray(r)))
+                jnp.asarray(ext_lane_np(np.asarray(r), T, WT, HW, W))
                 for r in (yz_interior, fyp, fym, fzp, fzm))
             lane_ext_t = pl.BlockSpec((1, CW), (lambda t, s: (0, t)),
                                       memory_space=pltpu.VMEM)
-
-            def rows_of2_t(sidx):
-                lrow = (sidx * R - 1
-                        + jax.lax.broadcasted_iota(jnp.int32,
-                                                   (R + 2, 1), 0))
-                live = jnp.logical_and(lrow >= 1, lrow <= nx - 2)
-                return lrow, live
 
             def ext_of_t(blocks, take):
                 lo = blocks[0][B - take:, :]
@@ -864,7 +848,13 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 return iterS_fn
 
             sweep_fns = {}
-            for s in range(2, max(2, min(SWD, B)) + 1):
+            # s sweeps consume <= s*(nz+1) lanes of halo margin; HW was
+            # sized from SWD, so only depths whose reach fits are built
+            # (SWD=1 builds none — clamping to 2 would chain past the
+            # halo and read concat-edge garbage into interior lanes)
+            for s in range(2, min(SWD, B) + 1):
+                if s * (nz + 1) > HW:
+                    continue
                 fn_s = mk_sweep_fn(s)
                 if fn_s is not None:
                     sweep_fns[s] = fn_s

@@ -104,13 +104,15 @@ class ChorinSolver:
         # the full chain (the step must be _step_chained end to end)
         self.flat_state = bool(cfg.numerics.flat_state
                                and self._advect_flat is not None
-                               and self.advect_method == "selectshift")
+                               and self.advect_method == "selectshift"
+                               and cfg.parallel.mesh_shape == (1, 1, 1))
         if cfg.numerics.flat_state and not self.flat_state:
             warnings.warn(
                 "flat_state requested but the fused flat chain is "
-                "unavailable on this config (compat/f64/over-wide grid "
-                "or non-selectshift advection); keeping canonical 3D "
-                "state", RuntimeWarning)
+                "unavailable on this config (compat/f64/over-wide grid, "
+                "non-selectshift advection, or a >1-device mesh — the "
+                "distributed schedules own their layouts); keeping "
+                "canonical 3D state", RuntimeWarning)
         self.step_jit = jax.jit(self.step, donate_argnums=0)
 
     def _init_split(self):

@@ -207,6 +207,22 @@ def main(argv=None):
             if comm == "fullstep":
                 from navierstokes3d_tpu.parallel import fullstep as fsmod
                 fullstep = True
+        if (mesh is not None and mesh.size > 1
+                and args.dtype == "float32" and not args.compat
+                and comm == "shard_map" and args.halo_width > 1):
+            # halo_width > 1 disqualifies the per-shard Pallas kernel
+            # (parallel/halo.py use_pallas gate), and the jnp shard_map
+            # loop runs plain f32 without the (hi,lo) pair — which the
+            # no-split multi variant needs to keep converging once the
+            # flow develops (stalls ~1.8e-3 vs eps 1e-3 at nx=63,
+            # docs/numerics.md). Surface it rather than burn the budget.
+            import warnings as _w
+            _w.warn(
+                "--comm shard_map with --halo-width > 1 runs the plain "
+                "f32 distributed loop (no stored pair); developed-flow "
+                "f32 runs may stall above eps_it. Use --halo-width 1 "
+                "(per-shard Pallas, pair-capable) or --dtype float64.",
+                RuntimeWarning)
 
     def build_step():
         if mesh is None:
@@ -309,8 +325,12 @@ def main(argv=None):
         pending.append((it, stats))
         # --sync-every N pipelines N chained steps per host round trip
         # (the per-step block_until_ready itself costs ~20 ms through
-        # the tunnel); any step with an I/O cadence due syncs regardless
+        # the tunnel); any step with an I/O cadence due syncs regardless.
+        # The first step always syncs so its JIT compile time lands in
+        # record 1 alone, which summary(skip_first=1) drops — smearing
+        # it across a batch would inflate time_per_step_s.
         need_sync = (len(pending) >= sync_every or it == it_last
+                     or it == it0 + 1
                      or (args.save and it % args.nsave == 0)
                      or (args.vis and it % args.nvis == 0)
                      or (args.checkpoint_every

@@ -555,3 +555,17 @@ def test_solver_lane_tiled_solve_equivalence(monkeypatch):
 
     compare(("3", False), (None, False), 5e-6)   # routing only
     compare(("3", True), (None, False), 5e-4)    # + sweep re-rounding
+
+
+def test_sweep_depth_one_builds_no_sweep_kernels():
+    """NS3D_SWEEP_DEPTH=1 sizes the tile halo for ONE sweep; no s>=2
+    sweep kernel may be built (its chained reach would exceed the halo
+    and read concat-edge garbage into interior lanes)."""
+    bc = PoissonBCSpec(True, None, np.zeros(20 * 18))
+    it, _, _ = build_poisson_iter(
+        24, 20, 18, 0.1, 0.1, 0.1, dtau=0.01, damp=0.9, bc=bc,
+        dtype=jnp.float32, interpret=True, mode="blocked", folded=True,
+        mrows=1, lane_tiles=3, sweep_depth=1)
+    assert it.lane_tiles == 3
+    assert getattr(it, "sweep_fns", {}) == {}
+    assert getattr(it, "sweep2", None) is None
