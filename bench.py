@@ -105,6 +105,15 @@ def main():
     # while staying ~3 s of timed work at the 255 grid
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--backend", choices=("pt", "fdm"), default="pt",
+                    help="'pt' (default) benches the reference-parity "
+                         "pseudo-transient solve — the headline metric. "
+                         "'fdm' benches the beyond-reference direct-"
+                         "solve+refinement backend and reports s/step "
+                         "with vs_baseline = speedup over a PT run "
+                         "timed in the SAME process (kernel A/Bs are "
+                         "only valid within one process on this "
+                         "runtime).")
     args = ap.parse_args()
 
     if args.nx is None:
@@ -112,6 +121,10 @@ def main():
     make = ns.preset_gpu if args.preset == "gpu" else ns.preset_multi
     cfg = make(nx=args.nx, nt=args.steps, compat=False,
                dtype=args.dtype)
+    if args.backend == "fdm":
+        import dataclasses
+        cfg = cfg.replace(numerics=dataclasses.replace(
+            cfg.numerics, poisson_backend="fdm"))
     solver = ns.ChorinSolver(cfg)
     g = solver.grid
     log(f"grid {g.nx}x{g.ny}x{g.nz} dtype={args.dtype} "
@@ -197,6 +210,55 @@ def main():
         all_converged &= stored_ok
     iters_per_sec = total_iters / wall
     time_per_step = wall / args.steps
+
+    if args.backend == "fdm":
+        # vs_baseline for the direct-solve backend is the measured
+        # speedup over the reference-parity PT solve, timed in the SAME
+        # process right after (independent processes vary ~10% on this
+        # runtime; in-process A/B is the repo's measurement discipline).
+        # stats.iters counted refinement rounds above, so the headline
+        # iters/s metric does not apply here.
+        pt_solver = ns.ChorinSolver(make(nx=args.nx, nt=args.steps,
+                                         compat=False, dtype=args.dtype))
+        pt_state = pt_solver.init_state()
+        for k in range(2):
+            t0 = time.time()
+            pt_state, pt_stats = pt_solver.step_jit(pt_state)
+            jax.block_until_ready(pt_state.pr)
+            log(f"pt comparator warmup {k}: {time.time()-t0:.1f}s")
+        n_pt = max(3, args.steps // 2)
+        t0 = time.time()
+        for _ in range(n_pt):
+            pt_state, pt_stats = pt_solver.step_jit(pt_state)
+            for a in (pt_stats.iters, pt_stats.err):
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+        jax.block_until_ready(pt_state.pr)
+        pt_step = (time.time() - t0) / n_pt
+        log(f"pt comparator: {pt_step:.3f}s/step over {n_pt} chained "
+            f"steps (converged={float(pt_stats.err) < eps_it})")
+        backend = jax.default_backend()
+        suffix = "_fdm" if backend not in ("cpu", "gpu") \
+            else f"_fdm_{backend}_fallback"
+        if not all_converged:
+            suffix += "_UNCONVERGED"
+            log("ERROR: at least one fdm step did not converge")
+        print(json.dumps({
+            "metric": (f"seconds_per_step_{g.nx}x{g.ny}x{g.nz}_"
+                       f"{args.dtype}{suffix}"),
+            "value": round(time_per_step, 4),
+            "unit": "s/step",
+            # measured same-process speedup over the PT parity solve
+            "vs_baseline": round(pt_step / time_per_step, 4),
+            "pt_seconds_per_step": round(pt_step, 4),
+            "all_steps_converged": all_converged,
+            "stored_state_err": (None if stored_err is None
+                                 else round(stored_err, 9)),
+            "device": jax.devices()[0].device_kind,
+        }))
+        return
 
     # HBM roofline for the executed iteration mix: the plain fused kernel
     # must move >= 5 grid arrays per iteration (read Pr/dprdtau/rhs, write

@@ -107,9 +107,12 @@ class NumericsConfig:
     # direct solve (tensor-product eigenbases, MXU matmuls; a capability
     # beyond the reference — ops/fdm_poisson.py).
     poisson_backend: str = "pt"
-    # 'fdm' backend: max pseudo-transient polish chunks (of nchk
-    # iterations each, early exit on convergence) after the direct solve.
-    fdm_polish_chunks: int = 2
+    # 'fdm' backend: max compensated iterative-refinement rounds after
+    # the direct solve (each ~12 MXU transform passes; early exit on
+    # err < eps_it). One round reaches ~1e-11 err units at nx=20-255 on
+    # v5e (HIGHEST-precision transforms); the budget only bounds
+    # pathological states.
+    fdm_refine: int = 8
     # Hydrostatic pressure split: the solver state stores
     # p' = Pr - P_static(z) with P_static the exact linear hydrostatic
     # profile (the gpu script's init/BC profile, gpu.jl:87,257-261). The

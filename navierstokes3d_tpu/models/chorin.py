@@ -122,6 +122,11 @@ class ChorinSolver:
         the same linear-in-z profile). Algebraically identical to the
         reference formulation; see config.py for the float32 rationale."""
         cfg, phys, grid = self.cfg, self.cfg.physics, self.grid
+        if cfg.compat and cfg.numerics.poisson_backend == "fdm":
+            raise ValueError(
+                "poisson_backend='fdm' replaces the reference's Poisson "
+                "loop (direct solve + compensated refinement against the "
+                "folded operator) and cannot compose with compat mode")
         want = cfg.numerics.pressure_split
         if want is None:
             want = (cfg.variant == "gpu" and not cfg.compat
@@ -630,11 +635,22 @@ class ChorinSolver:
 
     def _poisson_solve_fdm(self, pr, dprdtau, divv, *, allow_pallas=True,
                            want_pair=True):
-        """Exact direct solve via fast diagonalization (ops/fdm_poisson):
-        ~6 MXU matmul passes replace the reference's thousands of
-        pseudo-transient iterations. dprdtau passes through untouched
-        (it is pseudo-transient state; switching backends mid-run simply
-        warm-starts 'pt' from wherever it was)."""
+        """Direct solve via fast diagonalization + compensated iterative
+        refinement (ops/fdm_poisson): ~6 MXU matmul passes solve the
+        pressure system outright, then up to NumericsConfig.fdm_refine
+        rounds of { r = compensated residual of the (hi, lo) pressure
+        pair; e = fdm(-r); pair (+)= e } drive the STORED state below
+        eps_it — the same stored-state criterion stored_residual_err
+        evaluates, so stats.err here IS the honest pair residual. The
+        loop exits as soon as err < eps_it; stats.iters counts refinement
+        rounds (each ~12 MXU transform passes), not PT iterations. This
+        replaces the reference's thousands of pseudo-transient iterations
+        per step (gpu.jl:126-137). dprdtau passes through untouched (it
+        is pseudo-transient state; switching backends mid-run simply
+        warm-starts 'pt' from wherever it was). `allow_pallas` is
+        accepted for dispatch-signature compatibility; the path is pure
+        jnp (einsums + elementwise), so the SPMD partitioner can shard
+        it."""
         from ..ops.fdm_poisson import build_fdm_solver
         grid, phys = self.grid, self.cfg.physics
         if not hasattr(self, "_fdm_solve"):
@@ -656,37 +672,105 @@ class ChorinSolver:
                 rhs_b[0] -= (prof2d[1:-1, 1:-1] + 100.0) * cx
                 rhs_b[-1] -= prof2d[1:-1, 1:-1] * cx
                 from ..ops.fdm_poisson import solve_host_f64
-                self._fdm_static = jnp.asarray(
+                # NumPy, not jnp: this may be built inside a jit trace
+                # (first step), and a jnp constant created there would be
+                # a leaked tracer in every later trace (see
+                # ops/fdm_poisson.build_fdm_solver).
+                self._fdm_static = np.asarray(
                     solve_host_f64(grid, self.cfg.variant, rhs_b),
-                    self.dtype)
+                    np.dtype(jnp.dtype(self.dtype).name))
         rho, dt = phys.rho, grid.dt
-        rhs = ((rho / dt) * divv[1:-1, 1:-1, 1:-1]).astype(self.dtype)
-        p_int = self._fdm_solve(rhs)
+        num = self.cfg.numerics
+        eps_it = num.eps_it
+        err_scale = (grid.ly * grid.ly) / phys.psc
+        fdm = self._fdm_solve
+        use_pair = jnp.dtype(self.dtype) == jnp.float32
+
+        if use_pair:
+            # (hi, lo) RHS pair (ops/ds.rhs_pair): lo carries the f32
+            # rounding of the RHS so the refinement targets the true
+            # (f64-defined) right-hand side — without it eps32*|rhs|
+            # (~7e-4 err units at 255) floors just under the criterion.
+            rhs_hi3, rhs_lo3 = dsops.rhs_pair(divv, rho / dt, None)
+            rhs_hi = rhs_hi3[1:-1, 1:-1, 1:-1]
+            rhs_lo = rhs_lo3[1:-1, 1:-1, 1:-1]
+            comp = self._comp_residual_fn()
+
+            def resid(pr_v, lo_v):
+                return comp(pr_v, lo_v, rhs_hi, rhs_lo)
+        else:
+            # f64: a plain folded-stencil residual carries ~eps64 noise,
+            # far below eps_it — no compensation needed.
+            rhs_hi = ((rho / dt) * divv[1:-1, 1:-1, 1:-1]).astype(self.dtype)
+            lap = self._folded_lap_fn()
+
+            def resid(pr_v, lo_v):
+                r = lap(pr_v) - rhs_hi
+                return r, jnp.max(jnp.abs(r))
+
+        p_int = fdm(rhs_hi)
         if self._fdm_static is not None:
             p_int = p_int + self._fdm_static
-        pr = pr.at[1:-1, 1:-1, 1:-1].set(p_int)
+        pr = pr.at[1:-1, 1:-1, 1:-1].set(p_int.astype(self.dtype))
         pr = self.set_bc_pr(pr)
-        # The float32 transforms leave kappa-amplified (high-frequency)
-        # round-off above the reference's tolerance at large grids; the
-        # damped pseudo-transient loop kills exactly those modes fastest,
-        # so polish with the normal PT solve from this initial guess
-        # (fresh dprdtau). It exits at the first residual check when the
-        # direct solve was already good enough.
-        dpr0 = jnp.zeros_like(dprdtau)
-        # Polish budget: the direct solve nails the low-frequency content
-        # (which costs the PT iteration O(n) iterations); a few chunks kill
-        # the remaining high-frequency float32 transform noise. At large
-        # f32 grids the 1e-3 criterion sits below the stencil noise floor
-        # anyway (docs/numerics.md), so a fixed budget loses nothing.
-        mc = self.cfg.numerics.fdm_polish_chunks
-        if allow_pallas and self._pallas is not None:
-            return self._poisson_solve_pallas(pr, dpr0, divv, max_chunks=mc,
-                                              want_pair=want_pair)
-        if not self.cfg.compat:
-            return self._poisson_solve_jnp_folded(pr, dpr0, divv,
-                                                  max_chunks=mc,
-                                                  want_pair=want_pair)
-        return self._poisson_solve_jnp(pr, dpr0, divv)
+        lo = jnp.zeros_like(pr)
+        if use_pair:
+            # Install the (hi, lo) Dirichlet plane image BEFORE the
+            # refinement: the pair image carries the f64 profile's f32
+            # rounding remainder in the lo planes (bc.make_bc_pr_pair),
+            # and the stored-state criterion reads those planes through
+            # the folded masks — refining against lo-planes = 0 would
+            # converge a ~1e-2-err-units-different problem (measured:
+            # stored_err 9.4e-3 at 255 while the in-solve err read
+            # 1.4e-8).
+            pr, lo = self.set_bc_pr_pair(pr, lo)
+
+        # Refinement loop. The Dirichlet planes are frozen after the
+        # BC application above (the correction problem has homogeneous
+        # BCs — exactly the operator build_fdm_solver diagonalizes) and
+        # the compensated residual's folded masks never read the
+        # zero-grad planes, so BCs need no re-application inside the
+        # loop.
+        nchunks = grid.niter // grid.nchk
+        hist0 = jnp.full((nchunks,), jnp.nan, self.dtype)
+        r0, emax0 = resid(pr, lo)
+        err0 = (emax0 * err_scale).astype(self.dtype)
+        hist0 = hist0.at[0].set(err0)
+        max_ref = jnp.int32(num.fdm_refine)
+
+        def cond_fn(c):
+            _, _, _, k, err, _ = c
+            return (err >= eps_it) & (k < max_ref)
+
+        def body_fn(c):
+            pr_v, lo_v, r, k, _, hist = c
+            # resid returns r = lap(p) - rhs, so the correction solves
+            # lap(e) = -r (the defect phase's rhs_c = -r0 convention)
+            e = fdm(-r.astype(self.dtype))
+            nh, t = dsops.two_sum(pr_v[1:-1, 1:-1, 1:-1], e)
+            nl = lo_v[1:-1, 1:-1, 1:-1] + t
+            nh, nl = dsops.two_sum(nh, nl)
+            pr_v = pr_v.at[1:-1, 1:-1, 1:-1].set(nh)
+            lo_v = lo_v.at[1:-1, 1:-1, 1:-1].set(nl)
+            r2, emax2 = resid(pr_v, lo_v)
+            err2 = (emax2 * err_scale).astype(self.dtype)
+            hist = hist.at[jnp.minimum(k + 1, nchunks - 1)].set(err2)
+            return pr_v, lo_v, r2, k + jnp.int32(1), err2, hist
+
+        pr, lo, _, nref, err, hist = lax.while_loop(
+            cond_fn, body_fn,
+            (pr, lo, r0, jnp.int32(0), err0, hist0))
+
+        if want_pair and use_pair:
+            pr, lo = self.set_bc_pr_pair(pr, lo)
+            return pr, dprdtau, StepStats(iters=nref, err=err,
+                                          err_hist=hist, pr_lo=lo)
+        # Fold the pair: after the renormalizing two_sum, hi IS the
+        # correctly-rounded sum, so dropping lo costs <= 0.5 ulp of the
+        # stored field (err still reports the pair's residual — the
+        # criterion the loop drove below eps_it).
+        pr = self.set_bc_pr(pr)
+        return pr, dprdtau, StepStats(iters=nref, err=err, err_hist=hist)
 
     def _folded_masks(self, dtype):
         """Per-axis neighbor coefficient masks of the folded stencil,

@@ -82,30 +82,44 @@ def build_fdm_solver(grid, variant: str, dtype):
     plane values enter through the RHS; see the solver integration).
     y/z are zero-gradient in both variants.
     """
-    # host-side float64 eigendecompositions (symmetric tridiagonal)
+    # host-side float64 eigendecompositions (symmetric tridiagonal).
+    # The closed-over constants stay NumPy: build_fdm_solver may be
+    # called lazily inside a jit trace (models/chorin._poisson_solve_fdm),
+    # and a jnp.asarray created there would cache leaked tracers into the
+    # closure, crashing every later trace that reuses the solver (same
+    # pattern as chorin._folded_masks).
     (lx, qx), (ly, qy), (lz, qz) = _axis_eigs(grid, variant)
     lam = (lx[:, None, None] + ly[None, :, None] + lz[None, None, :])
     # The pure-Neumann direction pair leaves no zero mode here because the
     # x axis always has at least one Dirichlet end in both variants.
-    inv_lam = jnp.asarray(1.0 / lam, dtype)
-    qx_c, qy_c, qz_c = (jnp.asarray(q, dtype) for q in (qx, qy, qz))
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    inv_lam = np.asarray(1.0 / lam, np_dtype)
+    qx_c, qy_c, qz_c = (np.asarray(q, np_dtype) for q in (qx, qy, qz))
     acc_t = jnp.float32 if jnp.dtype(dtype) == jnp.float32 else jnp.dtype(dtype)
+
+    # HIGHEST precision: TPU f32 matmuls default to bf16 MXU passes,
+    # which costs ~1.5 orders of magnitude in the direct solve's residual
+    # (measured at nx=20 on v5e: 9.9e-3 vs 3.1e-4 err units) and caps the
+    # per-refinement contraction of the compensated refinement loop. The
+    # transforms are a trivial fraction of the solve, so the 6-pass f32
+    # emulation is free.
+    prec = jax.lax.Precision.HIGHEST
 
     def to_modal(f):
         t = jnp.einsum("ia,ajk->ijk", qx_c.T, f,
-                       preferred_element_type=acc_t)
+                       preferred_element_type=acc_t, precision=prec)
         t = jnp.einsum("jb,ibk->ijk", qy_c.T, t,
-                       preferred_element_type=acc_t)
+                       preferred_element_type=acc_t, precision=prec)
         return jnp.einsum("kc,ijc->ijk", qz_c.T, t,
-                          preferred_element_type=acc_t)
+                          preferred_element_type=acc_t, precision=prec)
 
     def from_modal(t):
         p = jnp.einsum("ai,ijk->ajk", qx_c, t,
-                       preferred_element_type=acc_t)
+                       preferred_element_type=acc_t, precision=prec)
         p = jnp.einsum("jb,ibk->ijk", qy_c, p,
-                       preferred_element_type=acc_t)
+                       preferred_element_type=acc_t, precision=prec)
         return jnp.einsum("kc,ijc->ijk", qz_c, p,
-                          preferred_element_type=acc_t)
+                          preferred_element_type=acc_t, precision=prec)
 
     def apply_a(p):
         """A p via the same folded stencil (for iterative refinement)."""

@@ -93,6 +93,14 @@ def build_argparser() -> argparse.ArgumentParser:
                          "benchmarks/dispatch_gap_probe.py). I/O cadences "
                          "force a sync regardless. NaN-abort/clamp "
                          "escalation react up to N-1 steps late.")
+    ap.add_argument("--poisson-backend", choices=("pt", "fdm"),
+                    default="pt",
+                    help="'pt' is the reference's damped pseudo-transient "
+                         "iteration (parity default); 'fdm' is the exact "
+                         "fast-diagonalization direct solve + compensated "
+                         "refinement (MXU matmuls; beyond-reference — "
+                         "ops/fdm_poisson.py). stats.iters then counts "
+                         "refinement rounds, not PT iterations.")
     ap.add_argument("--flat-state", action="store_true",
                     help="carry the velocity/tracer state between steps "
                          "in the fused chain's flat layout "
@@ -155,6 +163,13 @@ def main(argv=None):
     preset = ns.preset_multi if args.preset == "multi" else ns.preset_gpu
     cfg = preset(nx=args.nx, nt=args.nt, compat=args.compat,
                  dtype=args.dtype)
+    if args.poisson_backend != "pt":
+        import dataclasses
+        if args.compat:
+            raise SystemExit("--poisson-backend fdm changes the solver "
+                             "and cannot compose with --compat")
+        cfg = cfg.replace(numerics=dataclasses.replace(
+            cfg.numerics, poisson_backend=args.poisson_backend))
     if args.flat_state:
         import dataclasses
         if args.mesh:

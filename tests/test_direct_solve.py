@@ -105,3 +105,31 @@ def test_fdm_backend_full_step():
             b = np.asarray(getattr(st_fdm, name))
             np.testing.assert_allclose(a, b, rtol=0, atol=2e-4,
                                        err_msg=f"{variant}:{name}")
+
+
+def test_fdm_refine_stored_criterion_f32():
+    """f32 fdm backend: the compensated refinement loop drives the STORED
+    (hi, lo) pressure pair below eps_it every step (stats.err IS the
+    stored-state criterion on this path), across multiple steps with one
+    solver instance (regression: the lazily-built eigenbasis closures
+    must hold NumPy constants, not tracers leaked from the first step's
+    trace — ops/fdm_poisson.build_fdm_solver)."""
+    import dataclasses
+    import jax
+
+    for preset, variant in ((ns.preset_multi, "multi"), (ns.preset_gpu, "gpu")):
+        cfg = preset(nx=20, nt=3, compat=False, dtype="float32")
+        cfg = cfg.replace(numerics=dataclasses.replace(
+            cfg.numerics, poisson_backend="fdm"))
+        s = ns.ChorinSolver(cfg)
+        eps_it = cfg.numerics.eps_it
+        st = s.init_state()
+        for i in range(3):
+            divv = jax.jit(s.predictor_divv)(st)
+            st, stats = s.step_jit(st)
+            assert int(stats.iters) <= cfg.numerics.fdm_refine
+            assert float(stats.err) < eps_it, (variant, i, float(stats.err))
+            assert st.pr_lo is not None
+            stored = float(jax.jit(s.stored_residual_err)(st, divv=divv))
+            assert stored < eps_it, (variant, i, stored)
+        assert not np.isnan(np.asarray(st.pr)).any()
