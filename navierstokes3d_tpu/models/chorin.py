@@ -711,7 +711,15 @@ class ChorinSolver:
         p_int = fdm(rhs_hi)
         if self._fdm_static is not None:
             p_int = p_int + self._fdm_static
-        pr = pr.at[1:-1, 1:-1, 1:-1].set(p_int.astype(self.dtype))
+        # Zero-pad insertion, NOT pr.at[1:-1,...].set(p_int): set_bc_pr
+        # overwrites every boundary face anyway (both variants write all
+        # six planes; verified bit-identical single-device), and the
+        # DUS-into-pr form miscompiles under the GSPMD partitioner — on a
+        # (2,2,2) mesh the x-shard-boundary plane of the update is
+        # silently dropped (diff 0.112 at nx=16 f64, the whole i=8 plane
+        # keeping pr0's values; tests/test_direct_solve.py
+        # ::test_fdm_backend_sharded_equals_single guards this).
+        pr = jnp.pad(p_int.astype(self.dtype), 1)
         pr = self.set_bc_pr(pr)
         lo = jnp.zeros_like(pr)
         if use_pair:

@@ -191,7 +191,25 @@ def main(argv=None):
         else:
             shape = tuple(int(p) for p in args.mesh.lower().split("x"))
         mesh = make_mesh(shape=shape)
-        if comm == "auto" and mesh.size > 1:
+        if (mesh.size > 1 and cfg.numerics.poisson_backend == "fdm"
+                and comm in ("shard_map", "fullstep")):
+            # The shard_map/fullstep schedules build their own PT Poisson
+            # loop (explicit ppermute halos) and would silently ignore the
+            # direct-solve backend; only the global-view SPMD path routes
+            # through poisson_solve where 'fdm' dispatches.
+            raise SystemExit(f"--poisson-backend fdm requires the "
+                             f"global-view SPMD path on a multi-device "
+                             f"mesh (--comm auto or omit --comm); "
+                             f"--comm {comm} runs its own pseudo-"
+                             f"transient loop")
+        if comm == "auto" and mesh.size > 1 \
+                and cfg.numerics.poisson_backend == "fdm":
+            comm = "sharded"
+            if not args.quiet:
+                print("--comm auto -> sharded (global-view SPMD; the "
+                      "fdm direct solve is jnp einsums the partitioner "
+                      "shards)", file=sys.stderr)
+        elif comm == "auto" and mesh.size > 1:
             # Route the default to the fast path. On an x-only mesh that
             # splits nx evenly, the per-shard fused Pallas Poisson kernel
             # composes (~2.2x over the jnp loop the global-view

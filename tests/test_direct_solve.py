@@ -10,6 +10,7 @@ linear algebra rather than against another stencil implementation.
 """
 
 import numpy as np
+import pytest
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
@@ -133,3 +134,40 @@ def test_fdm_refine_stored_criterion_f32():
             stored = float(jax.jit(s.stored_residual_err)(st, divv=divv))
             assert stored < eps_it, (variant, i, stored)
         assert not np.isnan(np.asarray(st.pr)).any()
+
+
+def test_fdm_backend_sharded_equals_single():
+    """fdm under the global-view SPMD path — the only distributed path
+    that routes through poisson_solve (step_sharded_jit; the shard_map/
+    fullstep schedules build their own PT loop and run.py refuses the
+    combination). One step on a (2,2,2) 8-device mesh must match the
+    single-device fdm step: the einsum transforms are plain jnp, so the
+    partitioner shards them, and in f64 the direct solve is
+    machine-exact, leaving only partition-order rounding."""
+    import dataclasses
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from navierstokes3d_tpu.parallel import make_mesh, shard_state
+
+    for preset, variant in ((ns.preset_multi, "multi"), (ns.preset_gpu, "gpu")):
+        cfg = preset(nx=16, nt=1, compat=False)
+        cfg = cfg.replace(numerics=dataclasses.replace(
+            cfg.numerics, poisson_backend="fdm"))
+        s = ns.ChorinSolver(cfg)
+        ref_state, ref_stats = s.step_jit(s.init_state())
+
+        mesh = make_mesh(devices=jax.devices()[:8])
+        st_sh = shard_state(s.init_state(), mesh)
+        sh_state, sh_stats = s.step_sharded_jit(mesh)(st_sh)
+
+        # both solve directly: same refinement-round count (f64: zero)
+        assert int(ref_stats.iters) == int(sh_stats.iters), variant
+        assert float(sh_stats.err) < 1e-9, (variant, float(sh_stats.err))
+        for name in ("pr", "vx", "vy", "vz", "c"):
+            a = np.asarray(getattr(ref_state, name))
+            b = np.asarray(getattr(sh_state, name))
+            scale = max(1.0, np.abs(a).max())
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-11 * scale,
+                                       err_msg=f"{variant}:{name}")
