@@ -37,8 +37,13 @@ def test_choose_mesh_shape_prefers_x_only():
     assert choose_mesh_shape(1, nx=64) == (1, 1, 1)
 
 
-def _auto_comm(shape, nx, halo_width=1, advect_k=2):
+def _auto_comm(shape, nx, halo_width=1, advect_k=2, poisson_backend="pt"):
     """run.py's --comm auto resolution rule (kept in sync with run.main)."""
+    if poisson_backend == "fdm":
+        # only the global-view SPMD path routes through poisson_solve,
+        # where the fdm dispatch lives; the shard_map/fullstep schedules
+        # build their own PT loop
+        return "sharded"
     x_only = shape[1] == 1 and shape[2] == 1
     if x_only and nx % shape[0] == 0:
         bx = nx // shape[0]
@@ -53,6 +58,24 @@ def test_auto_comm_resolution():
     assert _auto_comm((8, 1, 1), 255) == "sharded"  # uneven x split
     assert _auto_comm((8, 1, 1), 64, halo_width=2) == "shard_map"
     assert _auto_comm((16, 1, 1), 48, advect_k=2) == "shard_map"  # thin slabs
+    assert _auto_comm((8, 1, 1), 64, poisson_backend="fdm") == "sharded"
+
+
+def test_fdm_comm_routing_cli():
+    """run.py refuses --poisson-backend fdm with an explicit shard_map/
+    fullstep schedule (they would silently run their own PT loop), and
+    --comm auto routes it to the global-view SPMD path."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from navierstokes3d_tpu.run import main
+    with pytest.raises(SystemExit, match="global-view"):
+        main(["--preset", "multi", "--nx", "16", "--nt", "1",
+              "--dtype", "float64", "--poisson-backend", "fdm",
+              "--mesh", "8x1x1", "--comm", "shard_map", "--quiet"])
+    with pytest.raises(SystemExit, match="global-view"):
+        main(["--preset", "multi", "--nx", "16", "--nt", "1",
+              "--dtype", "float64", "--poisson-backend", "fdm",
+              "--mesh", "8x1x1", "--comm", "fullstep", "--quiet"])
 
 
 @pytest.mark.filterwarnings("ignore::RuntimeWarning")
