@@ -746,6 +746,19 @@ class ChorinSolver:
         hist0 = hist0.at[0].set(err0)
         max_ref = jnp.int32(num.fdm_refine)
 
+        # Elementwise interior mask: like the zero-pad insertion above,
+        # this replaces the .at[1:-1,...].set() dynamic-update-slice,
+        # whose DUS-then-read-overlapping-planes composition miscompiles
+        # under the GSPMD partitioner (docs/gspmd_dus_note.md) — resid()
+        # reads the pair's BC planes through the folded masks right after
+        # the write. where(mask, pad(inner), full) is bit-identical.
+        sh_c = pr.shape
+        interior = jnp.ones(tuple(d - 2 for d in sh_c), bool)
+        interior = jnp.pad(interior, 1, constant_values=False)
+
+        def insert_interior(full, inner):
+            return jnp.where(interior, jnp.pad(inner, 1), full)
+
         def cond_fn(c):
             _, _, _, k, err, _ = c
             return (err >= eps_it) & (k < max_ref)
@@ -758,8 +771,8 @@ class ChorinSolver:
             nh, t = dsops.two_sum(pr_v[1:-1, 1:-1, 1:-1], e)
             nl = lo_v[1:-1, 1:-1, 1:-1] + t
             nh, nl = dsops.two_sum(nh, nl)
-            pr_v = pr_v.at[1:-1, 1:-1, 1:-1].set(nh)
-            lo_v = lo_v.at[1:-1, 1:-1, 1:-1].set(nl)
+            pr_v = insert_interior(pr_v, nh)
+            lo_v = insert_interior(lo_v, nl)
             r2, emax2 = resid(pr_v, lo_v)
             err2 = (emax2 * err_scale).astype(self.dtype)
             hist = hist.at[jnp.minimum(k + 1, nchunks - 1)].set(err2)

@@ -171,3 +171,25 @@ def test_fdm_backend_sharded_equals_single():
             scale = max(1.0, np.abs(a).max())
             np.testing.assert_allclose(a, b, rtol=0, atol=1e-11 * scale,
                                        err_msg=f"{variant}:{name}")
+
+    # f32 with a tight eps forces the refinement loop BODY to execute
+    # under sharding (the gpu variant's direct solve lands ~3e-4 err
+    # units, above 1e-7) — covering the pair-update insertions in the
+    # while_loop, not just the initial one (docs/gspmd_dus_note.md).
+    cfg = ns.preset_gpu(nx=20, nt=1, compat=False, dtype="float32")
+    cfg = cfg.replace(numerics=dataclasses.replace(
+        cfg.numerics, poisson_backend="fdm", eps_it=1e-7))
+    s = ns.ChorinSolver(cfg)
+    ref_state, ref_stats = s.step_jit(s.init_state())
+    mesh = make_mesh(devices=jax.devices()[:8])
+    sh_state, sh_stats = s.step_sharded_jit(mesh)(
+        shard_state(s.init_state(), mesh))
+    assert int(ref_stats.iters) >= 1  # the body ran
+    assert int(ref_stats.iters) == int(sh_stats.iters)
+    assert float(sh_stats.err) < 1e-7
+    a, b = np.asarray(ref_state.pr), np.asarray(sh_state.pr)
+    # single-device step_jit returns the (hi, lo) pair; the sharded
+    # wrapper folds it (want_pair=False) — agreement to the fold's
+    # <=0.5 ulp plus cross-program f32 rounding
+    np.testing.assert_allclose(a, b, rtol=0,
+                               atol=1e-5 * max(1.0, np.abs(a).max()))
