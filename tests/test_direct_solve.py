@@ -193,3 +193,19 @@ def test_fdm_backend_sharded_equals_single():
     # <=0.5 ulp plus cross-program f32 rounding
     np.testing.assert_allclose(a, b, rtol=0,
                                atol=1e-5 * max(1.0, np.abs(a).max()))
+
+
+def test_fdm_refine_budget_exhaustion():
+    """fdm_refine=0 with an unreachable eps returns the direct solve
+    gracefully: zero rounds, an HONEST err above the tolerance (the
+    solver reports, it does not mask), finite fields."""
+    import dataclasses
+
+    cfg = ns.preset_gpu(nx=20, nt=1, compat=False, dtype="float32")
+    cfg = cfg.replace(numerics=dataclasses.replace(
+        cfg.numerics, poisson_backend="fdm", fdm_refine=0, eps_it=1e-12))
+    s = ns.ChorinSolver(cfg)
+    st, stats = s.step_jit(s.init_state())
+    assert int(stats.iters) == 0
+    assert float(stats.err) > 1e-12
+    assert np.isfinite(np.asarray(st.pr)).all()
