@@ -126,3 +126,15 @@ def test_default_8dev_step_compiles_fused_kernel(monkeypatch):
     out, stats = step(dstate)
     jax.block_until_ready(out.pr)
     assert int(stats.iters) > 0
+
+
+def test_fdm_cli_single_device(capsys):
+    """--poisson-backend fdm end-to-end through the CLI on one device:
+    completes, reports converged steps (iters are refinement rounds)."""
+    import json
+    from navierstokes3d_tpu.run import main
+    main(["--preset", "multi", "--nx", "16", "--nt", "2",
+          "--dtype", "float64", "--poisson-backend", "fdm", "--quiet"])
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert rec["steps"] == 1  # summary drops the compile step
