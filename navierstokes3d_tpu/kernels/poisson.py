@@ -1017,6 +1017,149 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
 
                 iter_fn.sweep2 = iter2_fn
 
+                # ---- VMEM-resident chunk kernel ----
+                # One pallas call advancing NIT damped Jacobi iterations
+                # with pr, dPrdtau and the RHS resident in VMEM for the
+                # whole chunk: two bulk HBM->VMEM copies in, NIT sweeps
+                # over the scratch arrays, two bulk copies out. Per-
+                # iteration HBM traffic is ZERO — the streaming kernel
+                # above spends its entire 72.8 us/iter at 255^3-class
+                # grids on the 5-array DMA streams (measured stream-
+                # bound, benchmarks/poisson_variants.py + round-3 notes),
+                # so chunk residency removes the binding constraint
+                # outright instead of shaving passes off it (the
+                # temporal 2-sweep's losing trade). Only built when the
+                # 3-array working set fits VMEM (255x153x153 f32: 72 MB
+                # of the 110 MB budget; 511-class grids stay on the
+                # lane-tiled streaming kernel).
+                #
+                # Jacobi correctness in place: slabs update in ascending
+                # x; each slab's -x neighbor row is saved from the OLD
+                # values before the overwrite, and its +x neighbor rows
+                # are still unwritten — so every read sees iteration-k
+                # values while writes build k+1 (the same one-row-save
+                # discipline as an out-of-place sweep, without a second
+                # 24 MB pressure buffer).
+                #
+                # The emitted err is the masked max|resid| of the state
+                # ENTERING the final iteration of the chunk — exactly
+                # the check value the 1-sweep loop's flagged call emits
+                # at a chunk boundary (ptloop.pt_loop_fused), so
+                # iteration counts match the streaming loop exactly.
+                BR = B
+                SR = NXP // BR
+                res_cache = {}
+
+                def make_resident(nit):
+                    """Resident-chunk variant advancing `nit` iterations
+                    per call, or None when the working set exceeds VMEM
+                    or the shape is ineligible."""
+                    nit = int(nit)
+                    if nit < 1:
+                        return None
+                    if nit in res_cache:
+                        return res_cache[nit]
+                    resident_bytes = 3 * NXP * W * itemsize
+                    scoped = 14 * (BR + 2) * W * itemsize
+                    if resident_bytes + scoped + (1 << 22) > 100 * 2 ** 20:
+                        res_cache[nit] = None
+                        return None
+
+                    def sweep(prv, dpv, rhv, rows, emit):
+                        """One full-grid damped Jacobi iteration, in
+                        place on the VMEM scratch arrays."""
+                        prev = prv[0:1, :]  # x=-1 garbage: row 0 is dead
+                        err = None
+                        for s in range(SR):
+                            lo = s * BR
+                            cur = prv[lo:lo + BR, :]
+                            nxt = (prv[lo + BR:lo + BR + 1, :]
+                                   if s + 1 < SR else cur[0:1, :])
+                            p_ext = jnp.concatenate([prev, cur, nxt],
+                                                    axis=0)
+                            gx = lo + jax.lax.broadcasted_iota(
+                                jnp.int32, (BR, 1), 0)
+                            live = jnp.logical_and(gx >= 1, gx <= nx - 2)
+                            q, d_new, resid = compute_slab_folded(
+                                p_ext, dpv[lo:lo + BR, :],
+                                rhv[lo:lo + BR, :], gx, live, *rows)
+                            prev = cur[BR - 1:BR, :]  # old values (SSA)
+                            prv[lo:lo + BR, :] = q
+                            dpv[lo:lo + BR, :] = d_new
+                            if emit:
+                                rm = resid_max(resid, live, rows[0])
+                                err = rm if err is None \
+                                    else jnp.maximum(err, rm)
+                        return err
+
+                    def kernelR(pr_in, dpr_in, rhs_in, row0, row1, row2,
+                                row3, row4, pr_out, dpr_out, err_out,
+                                prv, dpv, rhv, sem_in, sem_out):
+                        cps = [pltpu.make_async_copy(src, dst,
+                                                     sem_in.at[i])
+                               for i, (src, dst) in enumerate(
+                                   ((pr_in, prv), (dpr_in, dpv),
+                                    (rhs_in, rhv)))]
+                        for c in cps:
+                            c.start()
+                        for c in cps:
+                            c.wait()
+                        rows = (row0, row1, row2, row3, row4)
+                        if nit > 1:
+                            jax.lax.fori_loop(
+                                0, nit - 1,
+                                lambda i, c: (sweep(prv, dpv, rhv, rows,
+                                                    False), c)[1], 0)
+                        err_out[0, 0] = sweep(prv, dpv, rhv, rows, True)
+                        outs = [pltpu.make_async_copy(src, dst,
+                                                      sem_out.at[i])
+                                for i, (src, dst) in enumerate(
+                                    ((prv, pr_out), (dpv, dpr_out)))]
+                        for c in outs:
+                            c.start()
+                        for c in outs:
+                            c.wait()
+
+                    costR = pl.CostEstimate(
+                        flops=nit * 20 * nx * W,
+                        bytes_accessed=int(5 * NXP * W * itemsize),
+                        transcendentals=0)
+                    paramsR = pltpu.CompilerParams(
+                        vmem_limit_bytes=int(min(
+                            resident_bytes + scoped + (1 << 22),
+                            110 * 2 ** 20)))
+                    pallas_res = pl.pallas_call(
+                        kernelR,
+                        out_shape=(slab_shape, slab_shape, err_shape),
+                        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
+                        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+                        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                                   pl.BlockSpec(memory_space=pl.ANY),
+                                   pl.BlockSpec(
+                                       memory_space=pltpu.SMEM)),
+                        scratch_shapes=[
+                            pltpu.VMEM((NXP, W), jdtype),
+                            pltpu.VMEM((NXP, W), jdtype),
+                            pltpu.VMEM((NXP, W), jdtype),
+                            pltpu.SemaphoreType.DMA((3,)),
+                            pltpu.SemaphoreType.DMA((2,)),
+                        ],
+                        input_output_aliases={0: 0, 1: 1},
+                        compiler_params=paramsR,
+                        cost_estimate=costR,
+                        interpret=interpret,
+                    )
+
+                    def res_fn(pr_flat, dpr_flat, rhs_flat):
+                        return pallas_res(pr_flat, dpr_flat, rhs_flat,
+                                          *rows_c)
+
+                    res_fn.nit = nit
+                    res_cache[nit] = res_fn
+                    return res_fn
+
+                iter_fn.make_resident = make_resident
+
             def pack(pr, dprdtau, rhs3d):
                 return zpack(pr), zpack(dprdtau), zpack(rhs3d)
 

@@ -27,7 +27,8 @@ from jax import lax
 def pt_loop_fused(step_fn: Callable, carry, it0: int, niter: int,
                   nchk: int, nchunks: int, eps_it: float, dtype,
                   stall: Optional[Tuple[float, int]] = None,
-                  err0=None, rem: int = 0, tail_fn: Callable = None):
+                  err0=None, rem: int = 0, tail_fn: Callable = None,
+                  seed0: bool = False):
     """Flat single-level while_loop over ITERATIONS, for backends whose
     iteration emits its own residual max.
 
@@ -60,8 +61,14 @@ def pt_loop_fused(step_fn: Callable, carry, it0: int, niter: int,
     already-known residual to make the loop a no-op when it is below
     eps_it, instead of wrapping the loop in lax.cond: conditional
     control flow around a pallas-call loop re-triggers the per-iteration
-    copy penalty this loop exists to avoid. Returns
-    (carry, iters, err, hist).
+    copy penalty this loop exists to avoid.
+
+    seed0=True: err0 IS the k=0 convergence check (the caller ran the
+    whole first chunk outside the loop, e.g. the resident-chunk kernel's
+    nchk-1 pre-call) — record it in hist[0] and push it into the stall
+    window, so the check sequence the loop sees is identical to a loop
+    whose first body produced that value. Requires it0 == nchk and err0.
+    Returns (carry, iters, err, hist).
     """
     big = jnp.asarray(1e30, dtype)
     stall_on = stall is not None
@@ -99,6 +106,11 @@ def pt_loop_fused(step_fn: Callable, carry, it0: int, niter: int,
     hist0 = jnp.full((nhist,), jnp.nan, dtype)
     errbuf0 = jnp.full((window + 1,), big, dtype)
     e0 = big if err0 is None else jnp.asarray(err0, dtype)
+    if seed0:
+        if err0 is None or it0 != nchk:
+            raise ValueError("seed0 requires err0 and it0 == nchk")
+        hist0 = hist0.at[0].set(e0.astype(hist0.dtype))
+        errbuf0 = jnp.concatenate([errbuf0[1:], e0[None]])
     carry, it, err, hist, errbuf = lax.while_loop(
         cond, body, (carry, jnp.int32(it0), e0, hist0, errbuf0))
     if rem > 0 and tail_fn is not None:
