@@ -1,10 +1,28 @@
-"""Probe: fdm transform speed at the showcase grid — where do ~110 ms go?
+"""Probe: fdm transform speed at the showcase grid.
+
+ANSWERED (round 5, v5e, this probe): the round-1-era "~110 ms/solve"
+was a measurement artifact (uncached dispatches + per-step host sync on
+the axon tunnel), not a lowering problem. Measured with the chained
+discipline below:
+  (a) einsum HIGHEST      4.06 ms/solve   <- the shipped chain
+  (b) matmul HIGHEST     22.2  ms/solve   (transposes cost 5x; suspicion
+                                           of a bad middle-axis einsum
+                                           lowering was WRONG)
+  (c) einsum bf16 DEFAULT 4.5  ms/solve   (no faster - bandwidth-bound -
+                                           and ~1.5 orders less accurate)
+  (d) full fdm step: 42 ms per-step-synced, 24.3 ms free-run chained
+      (bench.py --backend fdm: 11.8x over the PT parity step), 1
+      refinement round, err ~1.4e-8.
+The remaining (a)-vs-roofline gap (~4 ms vs ~0.5 ms) is the HIGHEST
+3-pass f32 emulation + small-matrix MXU underutilization (151x151
+operands); not worth a custom kernel while the non-Poisson chain
+dominates the fdm step.
 
 Roofline: the six modal transforms at (253,151,151) f32 move ~276 MB and
 cost ~7.7e10 bf16-equivalent flops at Precision.HIGHEST — ~0.4-0.7 ms on
-one v5e by either bound. The round-1-era note recorded ~110 ms/solve.
-This probe times, in ONE process with chained inputs (axon caches
-repeated identical dispatches — never time same-input reps):
+one v5e by either bound. This probe times, in ONE process with chained
+inputs (axon caches repeated identical dispatches — never time
+same-input reps):
 
   (a) the shipped to_modal/from_modal einsum chain (HIGHEST)
   (b) explicit transpose+reshape-to-2D-matmul forms of the same passes

@@ -48,7 +48,11 @@ def main():
         g.nx, g.ny, g.nz, g.dx, g.dy, g.dz, g.dtau, g.damp, bcspec,
         dtype="float32", slab=8, interpret=interpret, mode="blocked",
         folded=True)
-    res = iter_fn.make_resident(args.nit)
+    # make_resident only exists on the folded, non-extended,
+    # non-distributed T==1 branch — lane-tiled widths (e.g. --nx 511)
+    # stay on the streaming kernel and never attach it
+    res_factory = getattr(iter_fn, "make_resident", None)
+    res = res_factory(args.nit) if res_factory is not None else None
     if res is None:
         print("resident kernel ineligible at this shape")
         return

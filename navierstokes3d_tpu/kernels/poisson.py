@@ -80,6 +80,12 @@ def poisson_bc_spec(variant: str, grid, phys,
                          xhi_plane=prof2d.ravel())
 
 
+# VMEM ceiling the resident-chunk kernel plans against (v5e has 128 MB;
+# 110 MB leaves headroom for Mosaic's own spills). The eligibility guard
+# and the compiler vmem_limit both derive from this one constant.
+_RESIDENT_VMEM_BUDGET = 110 * 2 ** 20
+
+
 def choose_slab(nx: int, w: int, itemsize: int = 4,
                 vmem_budget: int = 10 * 2 ** 20) -> int:
     """Largest divisor of nx whose slab working set fits the VMEM budget
@@ -1060,8 +1066,16 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                     if nit in res_cache:
                         return res_cache[nit]
                     resident_bytes = 3 * NXP * W * itemsize
+                    # sweep-body working set: p_ext/q/d_new/resid plus
+                    # ~10 elementwise intermediates, each a (BR+2)-row
+                    # lane block — 14 row-blocks is a conservative bound
+                    # on what Mosaic keeps simultaneously live
                     scoped = 14 * (BR + 2) * W * itemsize
-                    if resident_bytes + scoped + (1 << 22) > 100 * 2 ** 20:
+                    need = resident_bytes + scoped + (1 << 22)
+                    # one budget: guard and compiler limit from the same
+                    # number (an undercount here only surfaces as a
+                    # Mosaic compile failure, so keep them consistent)
+                    if need > _RESIDENT_VMEM_BUDGET:
                         res_cache[nit] = None
                         return None
 
@@ -1126,8 +1140,7 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                         transcendentals=0)
                     paramsR = pltpu.CompilerParams(
                         vmem_limit_bytes=int(min(
-                            resident_bytes + scoped + (1 << 22),
-                            110 * 2 ** 20)))
+                            need, _RESIDENT_VMEM_BUDGET)))
                     pallas_res = pl.pallas_call(
                         kernelR,
                         out_shape=(slab_shape, slab_shape, err_shape),

@@ -12,9 +12,12 @@ of their eigenbases:
 
 The transforms are dense (n_k x n_k) matmuls over ~6M-cell fields — they
 run on the TPU MXU, solving the system EXACTLY in ~6 matmul passes
-(~1-2 ms at the 255^3-class showcase grid) instead of the reference's
-thousands of pseudo-transient iterations (gpu.jl:126-137). One step of
-iterative refinement in the same basis absorbs float32 round-off.
+(measured 4.06 ms/solve at the 255-class showcase grid on v5e,
+benchmarks/fdm_speed_probe.py) instead of the reference's thousands of
+pseudo-transient iterations (gpu.jl:126-137) — the full fdm step runs
+11.8x faster than the PT parity step (24.3 vs 287 ms free-run chained,
+benchmarks/records/). Iterative refinement in the same basis absorbs
+float32 round-off (1 round/step at 255, landing ~1e-8 err units).
 
 This is a capability the reference does not have; the pseudo-transient
 backend remains the parity default ('pt').

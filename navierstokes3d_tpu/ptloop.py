@@ -64,8 +64,8 @@ def pt_loop_fused(step_fn: Callable, carry, it0: int, niter: int,
     copy penalty this loop exists to avoid.
 
     seed0=True: err0 IS the k=0 convergence check (the caller ran the
-    whole first chunk outside the loop, e.g. the resident-chunk kernel's
-    nchk-1 pre-call) — record it in hist[0] and push it into the stall
+    whole first chunk outside the loop, e.g. a resident-chunk kernel
+    pre-call with nit == nchk) — record it in hist[0] and push it into the stall
     window, so the check sequence the loop sees is identical to a loop
     whose first body produced that value. Requires it0 == nchk and err0.
     Returns (carry, iters, err, hist).
@@ -105,7 +105,9 @@ def pt_loop_fused(step_fn: Callable, carry, it0: int, niter: int,
 
     hist0 = jnp.full((nhist,), jnp.nan, dtype)
     errbuf0 = jnp.full((window + 1,), big, dtype)
-    e0 = big if err0 is None else jnp.asarray(err0, dtype)
+    # reshape(()) tolerates (1,1)-shaped errs (the resident kernel's SMEM
+    # err_out) — e0[None] below needs a scalar
+    e0 = big if err0 is None else jnp.asarray(err0, dtype).reshape(())
     if seed0:
         if err0 is None or it0 != nchk:
             raise ValueError("seed0 requires err0 and it0 == nchk")

@@ -204,6 +204,115 @@ def test_full_step_compat_with_pallas():
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4, err_msg=name)
 
 
+@pytest.mark.parametrize("nit", [1, 3, 5])
+def test_resident_chunk_matches_streaming(nit):
+    """The VMEM-resident chunk kernel (nit in-place Jacobi sweeps per
+    pallas call, kernels/poisson.py::make_resident) must reproduce nit
+    streaming iter_fn calls: same pr/dPrdtau fields and the same emitted
+    err (the masked max|resid| of the state ENTERING the final iteration
+    — the flagged streaming call's value), to within per-program
+    FMA-contraction rounding (1-2 f32 ULP — the same codegen-context
+    tolerance the 2-sweep kernel documents, kernels/poisson.py:950-953).
+    Interpret mode; a silent ordering/masking regression in the in-place
+    sweep discipline shows as O(1) divergence here, far above the
+    ULP-scale bound asserted."""
+    nx, ny, nz = 20, 6, 6
+    dx = dy = dz = 0.1
+    bc = PoissonBCSpec(True, None, np.zeros(ny * nz))
+    it, pack, unpack = build_poisson_iter(
+        nx, ny, nz, dx, dy, dz, dtau=0.01, damp=0.9, bc=bc,
+        dtype=jnp.float32, slab=5, interpret=True, mode="blocked",
+        folded=True)
+    res = getattr(it, "make_resident", None)
+    assert res is not None, "folded T==1 branch must attach make_resident"
+    res_fn = res(nit)
+    assert res_fn is not None, "tiny grid must fit the VMEM budget"
+    assert res(nit) is res_fn  # cached
+
+    rng = np.random.default_rng(7)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    pr = f32(rng.standard_normal((nx, ny, nz)))
+    dpr = np.zeros((nx, ny, nz))
+    dpr[1:-1, 1:-1, 1:-1] = rng.standard_normal((nx - 2, ny - 2, nz - 2))
+    dpr = f32(dpr)
+    rhs = f32(rng.standard_normal((nx, ny, nz)))
+    pp0, df0, rf = pack(pr, dpr, rhs)
+
+    @jax.jit
+    def run_stream(pp, df):
+        for _ in range(nit - 1):
+            pp, df, _ = it(pp, df, rf, False)
+        pp, df, ec = it(pp, df, rf, True)
+        return pp, df, jnp.max(ec)
+
+    @jax.jit
+    def run_res(pp, df):
+        pp, df, ec = res_fn(pp, df, rf)
+        return pp, df, ec.reshape(())
+
+    p1, d1, e1 = run_stream(pp0, df0)
+    p2, d2, e2 = run_res(pp0, df0)
+    pa, da = unpack(p1, d1)
+    pb, db = unpack(p2, d2)
+    tol = dict(rtol=5e-7 * nit, atol=5e-7 * nit)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), **tol)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(db), **tol)
+    np.testing.assert_allclose(float(e1), float(e2), **tol)
+
+
+def test_resident_chunk_feeds_seeded_loop():
+    """End-to-end contract: a resident pre-call with nit == nchk followed
+    by the seeded flat loop reproduces the unseeded streaming loop's
+    (iters, err, hist) — the composition ptloop.seed0 exists for.
+    Iteration counts must match exactly; floats to ULP-scale tolerance
+    (the resident kernel's fields differ from streaming by per-program
+    FMA-contraction rounding, see test above)."""
+    from navierstokes3d_tpu.ptloop import pt_loop_fused
+    nx, ny, nz = 20, 6, 6
+    dx = dy = dz = 0.1
+    nchk, nchunks = 4, 6
+    bc = PoissonBCSpec(True, None, np.zeros(ny * nz))
+    it, pack, unpack = build_poisson_iter(
+        nx, ny, nz, dx, dy, dz, dtau=0.01, damp=0.9, bc=bc,
+        dtype=jnp.float32, slab=5, interpret=True, mode="blocked",
+        folded=True)
+    res_fn = it.make_resident(nchk)
+    rng = np.random.default_rng(13)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    pr = f32(0.01 * rng.standard_normal((nx, ny, nz)))
+    dpr = jnp.zeros((nx, ny, nz), jnp.float32)
+    rhs = f32(0.01 * rng.standard_normal((nx, ny, nz)))
+    pp0, df0, rf = pack(pr, dpr, rhs)
+    eps = 1e-4
+
+    def step_fn(carry, i):
+        pp, df = carry
+        do_chk = ((i + 1) % nchk) == 0
+        pp, df, ec = it(pp, df, rf, do_chk)
+        return (pp, df), jnp.max(ec), jnp.int32(1)
+
+    @jax.jit
+    def unseeded():
+        return pt_loop_fused(step_fn, (pp0, df0), 0, nchunks * nchk,
+                             nchk, nchunks, eps_it=eps, dtype=jnp.float32)
+
+    @jax.jit
+    def seeded():
+        pp, df, ec = res_fn(pp0, df0, rf)
+        return pt_loop_fused(step_fn, (pp, df), nchk, nchunks * nchk,
+                             nchk, nchunks, eps_it=eps, dtype=jnp.float32,
+                             err0=ec, seed0=True)
+
+    (c1, it1, e1, h1), (c2, it2, e2, h2) = unseeded(), seeded()
+    assert int(it1) == int(it2)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                               rtol=1e-5, equal_nan=True)
+    for a, b in zip(c1, c2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.parametrize("extended", [False, True])
 @pytest.mark.parametrize("mrows", [2, 4])
 def test_folded_mrows_matches_m1(extended, mrows):
