@@ -1028,16 +1028,23 @@ def build_poisson_iter(nx: int, ny: int, nz: int, dx: float, dy: float,
                 # with pr, dPrdtau and the RHS resident in VMEM for the
                 # whole chunk: two bulk HBM->VMEM copies in, NIT sweeps
                 # over the scratch arrays, two bulk copies out. Per-
-                # iteration HBM traffic is ZERO — the streaming kernel
-                # above spends its entire 72.8 us/iter at 255^3-class
-                # grids on the 5-array DMA streams (measured stream-
-                # bound, benchmarks/poisson_variants.py + round-3 notes),
-                # so chunk residency removes the binding constraint
-                # outright instead of shaving passes off it (the
-                # temporal 2-sweep's losing trade). Only built when the
-                # 3-array working set fits VMEM (255x153x153 f32: 72 MB
-                # of the 110 MB budget; 511-class grids stay on the
-                # lane-tiled streaming kernel).
+                # iteration HBM traffic is ZERO. MEASURED on v5e
+                # (round 5, benchmarks/resident_probe.py, bit-identical
+                # fields/err on hardware): at 255 it ties the streaming
+                # kernel exactly (96.0 vs 96.0 us/iter) — the streaming
+                # pipeline already hides its DMA behind compute, so the
+                # binding constraint at that size is the sweep body's
+                # issue rate, not HBM; at 63 it wins ~20-28%
+                # (87-63.5 vs 121-77 us/iter depending on session), all
+                # of it per-op issue overhead on tiny (10,1536) blocks.
+                # Neither justifies wiring it into the production loop
+                # (benchmarks/records/README.md "63-grid attribution");
+                # the kernel stays as measurement apparatus + a VMEM
+                # in-place-sweep reference, tested for equivalence in
+                # tests/test_pallas.py. Only built when the 3-array
+                # working set fits VMEM (255x153x153 f32: 72 MB of the
+                # 110 MB budget; 511-class grids stay on the lane-tiled
+                # streaming kernel).
                 #
                 # Jacobi correctness in place: slabs update in ascending
                 # x; each slab's -x neighbor row is saved from the OLD
