@@ -358,7 +358,16 @@ def main(argv=None):
     timer = RunTimer()
     sync_every = max(1, args.sync_every)
     pending = []  # (it, stats) not yet processed on the host
-    it_last = it0 + args.nt
+    # nt is the TOTAL horizon, matching the reference's nt
+    # (gpu.jl:44-51): re-running an interrupted command with --resume
+    # completes the original run instead of running nt further steps.
+    # To extend a finished run, raise --nt past the checkpoint step.
+    it_last = args.nt
+    if args.resume and it0 >= it_last:
+        print(f"checkpoint step {it0} already >= --nt {it_last}; "
+              "nothing to do (raise --nt to extend the run)",
+              file=sys.stderr)
+        return
     t_block = time.time()
     for it in range(it0 + 1, it_last + 1):
         state, stats = step(state)

@@ -91,12 +91,23 @@ def test_cli_end_to_end(tmp_path):
     gif = tmp_path / "viz" / "Vx_xy.gif"
     assert gif.exists() and gif.stat().st_size > 0
     assert (tmp_path / "viz" / "Pr_xz.gif").exists()
-    # resume two more steps
-    r2 = subprocess.run(base + ["--nt", "2", "--resume"],
+    # resume toward a LARGER total horizon: --nt is the TOTAL step count
+    # (the reference's nt, gpu.jl:44-51), so this runs steps 5-6 only
+    r2 = subprocess.run(base + ["--nt", "6", "--resume",
+                                "--checkpoint-every", "2"],
                         capture_output=True, text=True,
                         cwd=os.path.dirname(os.path.dirname(__file__)))
     assert r2.returncode == 0, r2.stderr[-2000:]
-    assert "resumed" in r2.stderr or r2.returncode == 0
+    # --quiet suppresses the "resumed from" notice; the step-6 checkpoint
+    # proves the continuation ran exactly steps 5-6
+    assert (tmp_path / "ck" / "ckpt_0000006.npz").exists()
+    # re-running the ORIGINAL command with --resume completes (and here
+    # is already complete): it must NOT run nt further steps
+    r3 = subprocess.run(base + ["--nt", "4", "--resume"],
+                        capture_output=True, text=True,
+                        cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "nothing to do" in r3.stderr
 
 
 def test_native_io_roundtrip(tmp_path):
@@ -247,7 +258,7 @@ def test_cli_abort_on_nan(tmp_path):
         [sys.executable, "-m", "navierstokes3d_tpu.run",
          "--preset", "multi", "--nx", "9", "--dtype", "float32",
          "--platform", "cpu", "--ckpt-dir", str(ckdir), "--resume",
-         "--nt", "3", "--abort-on-nan", "--quiet"],
+         "--nt", "6", "--abort-on-nan", "--quiet"],
         capture_output=True, text=True,
         cwd=os.path.dirname(os.path.dirname(__file__)))
     assert r.returncode != 0
