@@ -26,7 +26,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--preset", choices=("multi", "gpu"), default="multi")
     ap.add_argument("--nx", type=int, default=63)
-    ap.add_argument("--nt", type=int, default=10)
+    ap.add_argument("--nt", type=int, default=10,
+                    help="TOTAL number of time steps (the reference's "
+                         "nt). With --resume, the run continues from "
+                         "the checkpoint to this total — re-running an "
+                         "interrupted command completes it.")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--compat", action="store_true",
                     help="replicate reference quirks (1-rank semantics; "
