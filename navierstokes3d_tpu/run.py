@@ -89,6 +89,17 @@ def build_argparser() -> argparse.ArgumentParser:
                          "when a step's residual is non-finite; the "
                          "reference only breaks the Poisson loop and "
                          "keeps time-stepping (gpu.jl:135)")
+    ap.add_argument("--stall-timeout", type=float, default=0,
+                    help="seconds of no progress (no completed host "
+                         "sync) before the run hard-exits with code 3 "
+                         "(utils.timers.StallWatchdog). A wedged remote-"
+                         "TPU runtime blocks forever inside a device "
+                         "call; with checkpoints enabled, a supervisor "
+                         "can rerun the SAME command with --resume to "
+                         "complete the run. Set well above the first "
+                         "sync's JIT compile (~100-200 s at 255 through "
+                         "the dev tunnel) plus --sync-every steps of "
+                         "compute. 0 = off.")
     ap.add_argument("--sync-every", type=int, default=1,
                     help="pipeline N chained steps per host sync (stats "
                          "fetches and per-step policies are processed in "
@@ -372,6 +383,16 @@ def main(argv=None):
               "nothing to do (raise --nt to extend the run)",
               file=sys.stderr)
         return
+    watchdog = None
+    if args.stall_timeout > 0:
+        from navierstokes3d_tpu.utils.timers import StallWatchdog
+        watchdog = StallWatchdog(
+            args.stall_timeout,
+            message=(f"Re-run with --resume to continue from the last "
+                     f"checkpoint in {args.ckpt_dir}."
+                     if args.checkpoint_every else
+                     "No --checkpoint-every was set; progress is lost.")
+        ).start()
     t_block = time.time()
     for it in range(it0 + 1, it_last + 1):
         state, stats = step(state)
@@ -452,8 +473,12 @@ def main(argv=None):
             checkpoint.save_checkpoint(
                 os.path.join(args.ckpt_dir, f"ckpt_{it:07d}.npz"),
                 to_flow(state), it, pressure_split=solver.pressure_split)
+        if watchdog is not None:
+            watchdog.beat()
         t_block = time.time()
 
+    if watchdog is not None:
+        watchdog.stop()
     if args.animate:
         import glob
         for field in ("Pr", "C", "Vx", "Vy", "Vz"):
