@@ -333,25 +333,27 @@ def main(argv=None):
     # %nsave separately, gpu.jl:143,168); .bin dumps are frame-indexed while
     # .mat snapshots are keyed by the step number with full-shape fields,
     # exactly as the reference's save_array / matwrite calls do
-    # (multi_gpu.jl:515-523; gpu.jl:169).
-    ivis = isave = 0
+    # (multi_gpu.jl:515-523; gpu.jl:169). Frame indices derive from the
+    # STEP (it // cadence), not a process-local counter: a resumed run
+    # continues the original numbering instead of restarting at 0 and
+    # overwriting the earlier frames (a counter restart destroyed the
+    # steps-0..5000 frames of the round-5 long run on resume).
 
     def dump_save(it, dstate):
-        nonlocal isave
         state = to_flow(dstate)
         c, pr, vx, vy, vz = solver.gather_inner(state)
         binio.save_fields(args.out_dir,
-                          isave, {"C": c, "Pr": pr, "Vx": vx,
-                                  "Vy": vy, "Vz": vz})
+                          it // args.nsave,
+                          {"C": c, "Pr": pr, "Vx": vx,
+                           "Vy": vy, "Vz": vz})
         matio.save_step_mat(args.out_dir, it,
                             np.asarray(solver.full_pressure(state.pr)),
                             np.asarray(state.vx), np.asarray(state.vy),
                             np.asarray(state.vz), np.asarray(state.c),
                             g.dx, g.dy, g.dz)
-        isave += 1
 
     def dump_vis(it, dstate, stats=None):
-        nonlocal ivis
+        ivis = it // args.nvis
         c, pr, vx, vy, vz = solver.gather_inner(to_flow(dstate))
         fields = {"C": c, "Pr": pr, "Vx": vx, "Vy": vy, "Vz": vz}
         viz.save_frame(args.viz_dir, ivis, g, fields, t=it * g.dt)
@@ -362,12 +364,11 @@ def main(argv=None):
                 iters_axis = (np.arange(len(hist))[valid] + 1) * g.nchk / g.ny
                 viz.save_convergence(args.viz_dir, ivis,
                                      iters_axis, hist[valid])
-        ivis += 1
 
     if args.save:
-        dump_save(0, state)
+        dump_save(it0, state)
     if args.vis:
-        dump_vis(0, state)
+        dump_vis(it0, state)
 
     from navierstokes3d_tpu.utils.timers import StepRecord
     timer = RunTimer()

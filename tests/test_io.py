@@ -93,14 +93,23 @@ def test_cli_end_to_end(tmp_path):
     assert (tmp_path / "viz" / "Pr_xz.gif").exists()
     # resume toward a LARGER total horizon: --nt is the TOTAL step count
     # (the reference's nt, gpu.jl:44-51), so this runs steps 5-6 only
+    frame1 = tmp_path / "viz" / "3D_NavierStokes_xy_Pr_0001.png"
+    frame1_mtime = frame1.stat().st_mtime
     r2 = subprocess.run(base + ["--nt", "6", "--resume",
-                                "--checkpoint-every", "2"],
+                                "--checkpoint-every", "2",
+                                "--vis", "--nvis", "2"],
                         capture_output=True, text=True,
                         cwd=os.path.dirname(os.path.dirname(__file__)))
     assert r2.returncode == 0, r2.stderr[-2000:]
     # --quiet suppresses the "resumed from" notice; the step-6 checkpoint
     # proves the continuation ran exactly steps 5-6
     assert (tmp_path / "ck" / "ckpt_0000006.npz").exists()
+    # frame numbering continues from the step (it // nvis), so the
+    # resumed run writes frame 0003 (step 6) and must NOT restart at 0
+    # and overwrite the original frames
+    assert (tmp_path / "viz" / "3D_NavierStokes_xy_Pr_0003.png").exists()
+    assert frame1.stat().st_mtime == frame1_mtime, \
+        "resume overwrote an earlier frame (index counter restarted)"
     # re-running the ORIGINAL command with --resume completes (and here
     # is already complete): it must NOT run nt further steps
     r3 = subprocess.run(base + ["--nt", "4", "--resume"],
