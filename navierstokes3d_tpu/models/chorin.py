@@ -113,7 +113,75 @@ class ChorinSolver:
                 "non-selectshift advection, or a >1-device mesh — the "
                 "distributed schedules own their layouts); keeping "
                 "canonical 3D state", RuntimeWarning)
-        self.step_jit = jax.jit(self.step, donate_argnums=0)
+        # fdm backend: two classes of full-grid data must enter jitted
+        # steps as RUNTIME ARGUMENTS, never closure constants — anything
+        # closed over concretely is (a) evaluated eagerly at trace time
+        # if operated on, and (b) inlined into the lowered program as a
+        # literal. At the 511 grid that meant 4 copies of the 3-D
+        # eigenvalue sum (one per modal_scale call site) plus the static
+        # boundary field — ~1 GB of literals, which the axon
+        # remote-compile endpoint rejects with HTTP 413. The threaded
+        # aux dict carries the 1-D eigenvalue vectors (the 3-D sum is
+        # then STAGED and built on device) and, for the gpu variant, the
+        # host-f64-solved static boundary field (_build_fdm_static).
+        # _fdm_aux_arg holds the threaded tracers for the duration of a
+        # trace; unjitted steps fall back to the concrete closures.
+        self._fdm_static = None
+        self._fdm_aux = None
+        self._fdm_aux_arg = None
+        if cfg.numerics.poisson_backend == "fdm":
+            from ..ops.fdm_poisson import build_fdm_solver
+            self._fdm_solve = build_fdm_solver(self.grid, cfg.variant,
+                                               self.dtype)
+            aux = {"eigs": self._fdm_solve.eig_consts}
+            if cfg.variant == "gpu":
+                self._fdm_static = self._build_fdm_static()
+                aux["static"] = self._fdm_static
+            self._fdm_aux = aux
+        if self._fdm_aux is None:
+            self.step_jit = jax.jit(self.step, donate_argnums=0)
+        else:
+            inner = jax.jit(self._step_fdm_aux, donate_argnums=0)
+            # device_put LAZILY on first step (constructing a solver must
+            # not touch the device); cached so later steps reuse the
+            # buffers instead of re-transferring host arrays every call.
+            self._fdm_aux_dev = None
+
+            def step_jit(state):
+                if self._fdm_aux_dev is None:
+                    self._fdm_aux_dev = jax.device_put(self._fdm_aux)
+                return inner(state, self._fdm_aux_dev)
+
+            self.step_jit = step_jit
+
+    def _step_fdm_aux(self, state, fdm_aux):
+        """step() with the fdm aux pytree (eigenvalue vectors + optional
+        static boundary field, see __init__) threaded as an argument so
+        they are device buffers, never compile-time literals."""
+        self._fdm_aux_arg = fdm_aux
+        try:
+            return self.step(state)
+        finally:
+            self._fdm_aux_arg = None
+
+    def _build_fdm_static(self):
+        """gpu-variant fdm backend: the hydrostatic Dirichlet x planes
+        (gpu.jl:257-261) put ~1e9-scale boundary terms in the Poisson RHS,
+        which would drown the physics in float32. Solve the static
+        boundary-driven part ONCE in float64 on the host; per step only
+        the dynamic rho/dt divv part is solved on device
+        (_poisson_solve_fdm)."""
+        grid, phys = self.grid, self.cfg.physics
+        iz = np.arange(1, grid.nz + 1, dtype=np.float64)
+        prof = phys.rho * phys.g * (grid.nz - iz + 0.5) * grid.dz
+        prof2d = np.broadcast_to(prof[None, :], (grid.ny, grid.nz))
+        cx = 1.0 / (grid.dx * grid.dx)
+        rhs_b = np.zeros((grid.nx - 2, grid.ny - 2, grid.nz - 2))
+        rhs_b[0] -= (prof2d[1:-1, 1:-1] + 100.0) * cx
+        rhs_b[-1] -= prof2d[1:-1, 1:-1] * cx
+        from ..ops.fdm_poisson import solve_host_f64
+        return np.asarray(solve_host_f64(grid, self.cfg.variant, rhs_b),
+                          np.dtype(jnp.dtype(self.dtype).name))
 
     def _init_split(self):
         """Hydrostatic pressure split (NumericsConfig.pressure_split):
@@ -553,6 +621,40 @@ class ChorinSolver:
         # optional channels the selected backend emits) by abstract
         # evaluation instead of re-encoding the dispatch logic here
         state_struct = jax.eval_shape(self.init_state)
+        if self._fdm_aux is not None:
+            # fdm backend: thread the aux pytree (1-D eigenvalue vectors
+            # + the gpu variant's full-grid static boundary field) as
+            # replicated runtime arguments — same reason as step_jit in
+            # __init__: closure constants are inlined as literals into
+            # the lowered program (HTTP 413 at scale). Replication is
+            # correct and cheap in compile size; the partitioner slices
+            # the static locally for the sharded p_int + static add, no
+            # collectives.
+            def step_aux(state, fdm_aux):
+                self._fdm_aux_arg = fdm_aux
+                try:
+                    return step(state)
+                finally:
+                    self._fdm_aux_arg = None
+            aux_struct = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                self._fdm_aux)
+            aux_sh = jax.tree.map(lambda _: rep, self._fdm_aux)
+            _, stats_struct = jax.eval_shape(step_aux, state_struct,
+                                             aux_struct)
+            stats_sh = jax.tree.map(lambda _: rep, stats_struct)
+            inner = jax.jit(step_aux, donate_argnums=0,
+                            in_shardings=(sh, aux_sh),
+                            out_shardings=(sh, stats_sh))
+            aux_dev_cell = []
+
+            def sharded_step(state):
+                if not aux_dev_cell:
+                    aux_dev_cell.append(
+                        jax.device_put(self._fdm_aux, aux_sh))
+                return inner(state, aux_dev_cell[0])
+
+            return sharded_step
         _, stats_struct = jax.eval_shape(step, state_struct)
         stats_sh = jax.tree.map(lambda _: rep, stats_struct)
         return jax.jit(step, donate_argnums=0,
@@ -651,34 +753,16 @@ class ChorinSolver:
         accepted for dispatch-signature compatibility; the path is pure
         jnp (einsums + elementwise), so the SPMD partitioner can shard
         it."""
-        from ..ops.fdm_poisson import build_fdm_solver
         grid, phys = self.grid, self.cfg.physics
-        if not hasattr(self, "_fdm_solve"):
-            self._fdm_solve = build_fdm_solver(grid, self.cfg.variant,
-                                               self.dtype)
-            self._fdm_static = None
-            if self.cfg.variant == "gpu":
-                # The hydrostatic Dirichlet x planes (gpu.jl:257-261) put
-                # ~1e9-scale boundary terms in the RHS, which would drown
-                # the physics in float32. Solve the static boundary-driven
-                # part ONCE in float64 on the host; per step only the
-                # dynamic rho/dt divv part is solved on device.
-                f64 = jnp.float64 if jax.config.jax_enable_x64 else None
-                iz = np.arange(1, grid.nz + 1, dtype=np.float64)
-                prof = phys.rho * phys.g * (grid.nz - iz + 0.5) * grid.dz
-                prof2d = np.broadcast_to(prof[None, :], (grid.ny, grid.nz))
-                cx = 1.0 / (grid.dx * grid.dx)
-                rhs_b = np.zeros((grid.nx - 2, grid.ny - 2, grid.nz - 2))
-                rhs_b[0] -= (prof2d[1:-1, 1:-1] + 100.0) * cx
-                rhs_b[-1] -= prof2d[1:-1, 1:-1] * cx
-                from ..ops.fdm_poisson import solve_host_f64
-                # NumPy, not jnp: this may be built inside a jit trace
-                # (first step), and a jnp constant created there would be
-                # a leaked tracer in every later trace (see
-                # ops/fdm_poisson.build_fdm_solver).
-                self._fdm_static = np.asarray(
-                    solve_host_f64(grid, self.cfg.variant, rhs_b),
-                    np.dtype(jnp.dtype(self.dtype).name))
+        # _fdm_solve and the aux pytree are built eagerly in __init__
+        # (backend == 'fdm' is config-fixed). Prefer the threaded runtime
+        # arguments (tracers during jitted traces — keeps the 3-D
+        # eigenvalue sum and static field out of the compiled program's
+        # literals); unjitted callers fall back to the concrete closures.
+        aux = self._fdm_aux_arg
+        fdm_eigs = aux["eigs"] if aux is not None else None
+        fdm_static = (aux.get("static") if aux is not None
+                      else self._fdm_static)
         rho, dt = phys.rho, grid.dt
         num = self.cfg.numerics
         eps_it = num.eps_it
@@ -708,9 +792,9 @@ class ChorinSolver:
                 r = lap(pr_v) - rhs_hi
                 return r, jnp.max(jnp.abs(r))
 
-        p_int = fdm(rhs_hi)
-        if self._fdm_static is not None:
-            p_int = p_int + self._fdm_static
+        p_int = fdm(rhs_hi, eigs=fdm_eigs)
+        if fdm_static is not None:
+            p_int = p_int + fdm_static
         # Zero-pad insertion, NOT pr.at[1:-1,...].set(p_int): set_bc_pr
         # overwrites every boundary face anyway (both variants write all
         # six planes; verified bit-identical single-device), and the
@@ -767,7 +851,7 @@ class ChorinSolver:
             pr_v, lo_v, r, k, _, hist = c
             # resid returns r = lap(p) - rhs, so the correction solves
             # lap(e) = -r (the defect phase's rhs_c = -r0 convention)
-            e = fdm(-r.astype(self.dtype))
+            e = fdm(-r.astype(self.dtype), eigs=fdm_eigs)
             nh, t = dsops.two_sum(pr_v[1:-1, 1:-1, 1:-1], e)
             nl = lo_v[1:-1, 1:-1, 1:-1] + t
             nh, nl = dsops.two_sum(nh, nl)

@@ -15,9 +15,11 @@ run on the TPU MXU, solving the system EXACTLY in ~6 matmul passes
 (measured 4.06 ms/solve at the 255-class showcase grid on v5e,
 benchmarks/fdm_speed_probe.py) instead of the reference's thousands of
 pseudo-transient iterations (gpu.jl:126-137) — the full fdm step runs
-11.8x faster than the PT parity step (24.3 vs 287 ms free-run chained,
-benchmarks/records/). Iterative refinement in the same basis absorbs
-float32 round-off (1 round/step at 255, landing ~1e-8 err units).
+11.8x faster than the PT parity step at the 255 showcase grid (24.3 vs
+287 ms free-run chained) and 36.4x at the 511 wide grid (0.176 vs
+6.41 s/step), every step ~6e-8 err units (benchmarks/records/).
+Iterative refinement in the same basis absorbs float32 round-off
+(1 round/step at 255 and 511, landing ~1e-8..1e-7 err units).
 
 This is a capability the reference does not have; the pseudo-transient
 backend remains the parity default ('pt').
@@ -66,15 +68,17 @@ def _axis_eigs(grid, variant: str):
 
 def solve_host_f64(grid, variant: str, rhs: np.ndarray) -> np.ndarray:
     """One-off exact host solve in float64 (for static boundary-driven
-    parts that must not pollute float32 device solves)."""
+    parts that must not pollute float32 device solves). optimize=True
+    routes the contractions through BLAS — at the 511-class grid the
+    naive c_einsum path takes minutes, the dgemm path seconds."""
     (lx, qx), (ly, qy), (lz, qz) = _axis_eigs(grid, variant)
-    t = np.einsum("ia,ajk->ijk", qx.T, rhs)
-    t = np.einsum("jb,ibk->ijk", qy.T, t)
-    t = np.einsum("kc,ijc->ijk", qz.T, t)
+    t = np.einsum("ia,ajk->ijk", qx.T, rhs, optimize=True)
+    t = np.einsum("jb,ibk->ijk", qy.T, t, optimize=True)
+    t = np.einsum("kc,ijc->ijk", qz.T, t, optimize=True)
     t /= (lx[:, None, None] + ly[None, :, None] + lz[None, None, :])
-    p = np.einsum("ai,ijk->ajk", qx, t)
-    p = np.einsum("jb,ibk->ijk", qy, p)
-    return np.einsum("kc,ijc->ijk", qz, p)
+    p = np.einsum("ai,ijk->ajk", qx, t, optimize=True)
+    p = np.einsum("jb,ibk->ijk", qy, p, optimize=True)
+    return np.einsum("kc,ijc->ijk", qz, p, optimize=True)
 
 
 def build_fdm_solver(grid, variant: str, dtype):
@@ -92,12 +96,30 @@ def build_fdm_solver(grid, variant: str, dtype):
     # closure, crashing every later trace that reuses the solver (same
     # pattern as chorin._folded_masks).
     (lx, qx), (ly, qy), (lz, qz) = _axis_eigs(grid, variant)
-    lam = (lx[:, None, None] + ly[None, :, None] + lz[None, None, :])
     # The pure-Neumann direction pair leaves no zero mode here because the
     # x axis always has at least one Dirichlet end in both variants.
     np_dtype = np.dtype(jnp.dtype(dtype).name)
-    inv_lam = np.asarray(1.0 / lam, np_dtype)
+    # Keep only the 1-D eigenvalue vectors as trace constants and build
+    # the 3-D eigenvalue sum ON DEVICE inside the solve: materializing
+    # inv_lam = 1/lam as a host constant inlines a full-grid array into
+    # the compiled program (189 MB at the 511 grid), which the axon
+    # remote-compile endpoint rejects outright (HTTP 413 request-size
+    # limit) and which bloats every other compile. The broadcast
+    # add + divide is one fused elementwise pass, trivial next to the
+    # transforms; in f64 the on-device (lx+ly)+lz matches the host
+    # computation bit-for-bit (same IEEE ops, same order), in f32 it
+    # differs from the old f64-computed-then-rounded constant by ~2 ulp
+    # of lam, which the residual-driven refinement absorbs.
+    lx_c = np.asarray(lx, np_dtype)
+    ly_c = np.asarray(ly, np_dtype)
+    lz_c = np.asarray(lz, np_dtype)
     qx_c, qy_c, qz_c = (np.asarray(q, np_dtype) for q in (qx, qy, qz))
+    # materialized transposes shared across all to_modal call sites: the
+    # tracer dedupes closure constants by object identity, so a fresh
+    # `.T` view per call would emit one (n x n) literal per use (6-12
+    # copies of the 1 MB x-matrix at the 511 grid) instead of one.
+    qxT_c, qyT_c, qzT_c = (np.ascontiguousarray(q.T)
+                           for q in (qx_c, qy_c, qz_c))
     acc_t = jnp.float32 if jnp.dtype(dtype) == jnp.float32 else jnp.dtype(dtype)
 
     # HIGHEST precision: TPU f32 matmuls default to bf16 MXU passes,
@@ -109,11 +131,11 @@ def build_fdm_solver(grid, variant: str, dtype):
     prec = jax.lax.Precision.HIGHEST
 
     def to_modal(f):
-        t = jnp.einsum("ia,ajk->ijk", qx_c.T, f,
+        t = jnp.einsum("ia,ajk->ijk", qxT_c, f,
                        preferred_element_type=acc_t, precision=prec)
-        t = jnp.einsum("jb,ibk->ijk", qy_c.T, t,
+        t = jnp.einsum("jb,ibk->ijk", qyT_c, t,
                        preferred_element_type=acc_t, precision=prec)
-        return jnp.einsum("kc,ijc->ijk", qz_c.T, t,
+        return jnp.einsum("kc,ijc->ijk", qzT_c, t,
                           preferred_element_type=acc_t, precision=prec)
 
     def from_modal(t):
@@ -154,13 +176,36 @@ def build_fdm_solver(grid, variant: str, dtype):
         zr = jnp.where(k == m[2] - 1, 0.0, zr)
         return cx * (xl + xr) + cy * (yl + yr) + cz * (zl + zr)
 
+    def modal_scale(t, eigs):
+        lx_v, ly_v, lz_v = eigs
+        lam = (lx_v[:, None, None] + ly_v[None, :, None]
+               + lz_v[None, None, :])
+        return t / lam
+
     @jax.jit
-    def solve(rhs, refine: int = 1):
-        p = from_modal(to_modal(rhs) * inv_lam)
+    def solve(rhs, eigs=None, refine: int = 1):
+        """eigs: optional (lx, ly, lz) 1-D eigenvalue vectors as RUNTIME
+        values (tracers/device arrays). Pass them when calling inside an
+        outer jit trace: with the closure's concrete NumPy vectors the
+        lam broadcast-add executes EAGERLY at trace time, materializing
+        a fresh full-grid literal per call site (4 x 189 MB at the 511
+        grid — the axon remote-compile endpoint rejects the program with
+        HTTP 413). With traced operands the add is staged and lam is
+        built on device: one fused elementwise pass, trivial next to the
+        transforms. Numerically identical ops in the same order; in f32
+        the on-device sum differs from the old f64-computed-then-rounded
+        constant by ~2 ulp of lam, which the residual-driven refinement
+        absorbs."""
+        if eigs is None:
+            eigs = (lx_c, ly_c, lz_c)
+        p = from_modal(modal_scale(to_modal(rhs), eigs))
         for _ in range(refine):
             r = rhs - apply_a(p)
-            p = p + from_modal(to_modal(r) * inv_lam)
+            p = p + from_modal(modal_scale(to_modal(r), eigs))
         return p
 
     solve.apply_a = apply_a
+    # 1-D eigenvalue vectors for callers that thread them through a jit
+    # boundary as runtime arguments (models/chorin.ChorinSolver.__init__)
+    solve.eig_consts = (lx_c, ly_c, lz_c)
     return solve

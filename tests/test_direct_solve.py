@@ -209,3 +209,46 @@ def test_fdm_refine_budget_exhaustion():
     assert int(stats.iters) == 0
     assert float(stats.err) > 1e-12
     assert np.isfinite(np.asarray(st.pr)).all()
+
+
+def test_fdm_step_has_no_grid_sized_literals():
+    """The fdm step's lowered program must carry NO full-grid constants.
+
+    Trace-time eager evaluation materializes anything computed from
+    concrete closures as a literal per call site — at the 511 showcase
+    grid that was 4 copies of the 189 MB 3-D eigenvalue sum plus the
+    189 MB static boundary field (~1 GB of literals), which the axon
+    remote-compile endpoint rejects with HTTP 413 and which bloats
+    compilation on every backend. The fix threads the 1-D eigenvalue
+    vectors and the static field through the jit boundary as runtime
+    arguments (ChorinSolver._step_fdm_aux); this pins that no literal
+    within 4x of the interior-grid size survives in the StableHLO, for
+    both variants, so a refactor cannot silently reintroduce the
+    inlining."""
+    import dataclasses
+    import re
+
+    import jax
+
+    for preset, variant in ((ns.preset_gpu, "gpu"), (ns.preset_multi,
+                                                     "multi")):
+        cfg = preset(nx=20, nt=1, compat=False, dtype="float32")
+        cfg = cfg.replace(numerics=dataclasses.replace(
+            cfg.numerics, poisson_backend="fdm"))
+        s = ns.ChorinSolver(cfg)
+        g = s.grid
+        interior_bytes = (g.nx - 2) * (g.ny - 2) * (g.nz - 2) * 4
+        state_struct = jax.eval_shape(s.init_state)
+        aux_struct = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), s._fdm_aux)
+        txt = jax.jit(s._step_fdm_aux, donate_argnums=0).lower(
+            state_struct, aux_struct).as_text()
+        # dense<"0x..."> hex payloads; the eigenvector matrices are
+        # (n-2)^2 — far below the interior size — and everything else
+        # legitimate is 1-D/2-D
+        biggest = max((len(m.group(1)) // 2 for m in re.finditer(
+            r'dense<"0x([0-9A-Fa-f]+)">', txt)), default=0)
+        assert biggest < interior_bytes // 4, (
+            f"{variant}: a {biggest}-byte literal survives in the fdm "
+            f"step lowering (interior grid = {interior_bytes} bytes) — "
+            "a full-grid constant is being inlined again")
